@@ -1,0 +1,39 @@
+"""neupan_tpu — a TPU-native NeuPAN motion-planning engine.
+
+Brand-new implementation, in JAX/XLA/Pallas, of the capabilities of the
+reference NeuPAN planner (hanruihua/NeuPAN): a real-time, map-free, MPC-based
+planner mapping raw 2-D obstacle points to control actions through an
+alternating minimization between a learned point encoder (DUNE) and a convex
+motion-planning QP (NRMP).
+
+Key differences from the reference (all TPU-first):
+  * the entire control step is one jitted function with static shapes;
+  * NRMP is a hand-written batched OSQP-style ADMM solver (ops/qp.py)
+    instead of cvxpy/cvxpylayers/ECOS;
+  * DUNE runs as batched XLA / Pallas kernels over padded point sets;
+  * thousands of independent planning scenarios batch/shard across chips
+    via vmap + shard_map (parallel/).
+"""
+
+__version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache (opt-out via NEUPAN_TPU_NO_CACHE=1): the
+# planner step is one large jitted graph; caching makes warm process starts
+# near-instant on both CPU and TPU.
+if not _os.environ.get("NEUPAN_TPU_NO_CACHE"):
+    _cache_dir = _os.environ.get(
+        "NEUPAN_TPU_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "neupan_tpu_jax"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    except Exception:
+        pass
+
+from neupan_tpu.robot import Robot  # noqa: F401

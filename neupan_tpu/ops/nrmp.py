@@ -1,0 +1,311 @@
+"""NRMP — Neural Regularized Motion Planner, QP assembly for the TPU solver.
+
+Replaces the reference's cvxpy problem construction + CvxpyLayer call
+(reference: blocks/nrmp.py:263-304, robot/robot.py:73-236) with a direct,
+fully-vectorized assembly of an OSQP-standard-form QP consumed by
+``neupan_tpu.ops.qp``.
+
+Mathematical parity with the reference problem:
+
+  variables   s in R^{3x(T+1)}, u in R^{2xT}, d in R^T  (+ slack z in R^{TxK})
+  objective   ||q_s s - q_s ref_s||^2  (omni: x,y rows only)
+            + ||p_u u[0,:] - p_u ref_us||^2
+            + 0.5 bk ||s - nom_s||^2
+            - eta sum(d)
+            + 0.5 ro_obs sum(z^2)          <- exact hinge reformulation of
+                                              0.5 ro_obs ||neg(fa p - fb - d)||^2
+  subject to  s_{t+1} = A_t s_t + B_t u_t + C_t
+              s_0 = nom_s_0
+              |u_{t+1} - u_t| <= acce_bound,  |u| <= speed_bound
+              max(d_min, 0) <= d <= d_max
+              fa_t p_{t+1} - fb_t - d_t + z_t >= 0,  z >= 0
+
+The hinge reformulation is exact: minimizing 0.5 ro_obs z^2 over
+z >= max(0, fb + d - fa p) yields z* = neg(fa p - fb - d).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from neupan_tpu.ops.qp import QPData
+
+_INF = 1e20
+
+
+class AdjustParams(NamedTuple):
+    """Runtime-tunable, differentiable weights (reference nrmp.py:79-104)."""
+
+    q_s: jnp.ndarray   # scalar () or (3,) / (3,1)
+    p_u: jnp.ndarray   # scalar
+    eta: jnp.ndarray   # scalar
+    d_max: jnp.ndarray # scalar
+    d_min: jnp.ndarray # scalar
+
+
+@dataclasses.dataclass(frozen=True)
+class NRMPSpec:
+    """Static problem description (hashable; jit static argument)."""
+
+    T: int
+    K: int                      # nrmp_max_num (0 => no-obstacle problem)
+    kinematics: str
+    speed_bound: Tuple[float, float]
+    acce_bound: Tuple[float, float]
+    ro_obs: float = 400.0
+    bk: float = 0.1
+
+    @property
+    def no_obs(self) -> bool:
+        return self.K == 0
+
+    @property
+    def n_s(self) -> int:
+        return 3 * (self.T + 1)
+
+    @property
+    def n_u(self) -> int:
+        return 2 * self.T
+
+    @property
+    def n(self) -> int:
+        if self.no_obs:
+            return self.n_s + self.n_u
+        return self.n_s + self.n_u + self.T + self.T * self.K
+
+    @property
+    def off_u(self) -> int:
+        return self.n_s
+
+    @property
+    def off_d(self) -> int:
+        return self.n_s + self.n_u
+
+    @property
+    def off_z(self) -> int:
+        return self.off_d + self.T
+
+    @property
+    def m(self) -> int:
+        base = 3 * self.T + 3 + 2 * (self.T - 1) + 2 * self.T
+        if self.no_obs:
+            return base
+        return base + self.T + 2 * self.T * self.K
+
+    # row offsets
+    @property
+    def r_init(self) -> int:
+        return 3 * self.T
+
+    @property
+    def r_acc(self) -> int:
+        return self.r_init + 3
+
+    @property
+    def r_spd(self) -> int:
+        return self.r_acc + 2 * (self.T - 1)
+
+    @property
+    def r_d(self) -> int:
+        return self.r_spd + 2 * self.T
+
+    @property
+    def r_obs(self) -> int:
+        return self.r_d + self.T
+
+    @property
+    def r_z(self) -> int:
+        return self.r_obs + self.T * self.K
+
+
+def _static_template(spec: NRMPSpec) -> np.ndarray:
+    """Constant entries of the constraint matrix A (m, n)."""
+    T, K = spec.T, spec.K
+    A0 = np.zeros((spec.m, spec.n), dtype=np.float32)
+
+    # dynamics rows: -I on s_{t+1}
+    for t in range(T):
+        for r in range(3):
+            A0[3 * t + r, 3 * (t + 1) + r] = -1.0
+    # init rows: I on s_0
+    for r in range(3):
+        A0[spec.r_init + r, r] = 1.0
+    # acceleration rows: u_{t+1} - u_t
+    for t in range(T - 1):
+        for j in range(2):
+            row = spec.r_acc + 2 * t + j
+            A0[row, spec.off_u + 2 * (t + 1) + j] = 1.0
+            A0[row, spec.off_u + 2 * t + j] = -1.0
+    # speed rows: I on u
+    for t in range(T):
+        for j in range(2):
+            A0[spec.r_spd + 2 * t + j, spec.off_u + 2 * t + j] = 1.0
+    if not spec.no_obs:
+        # d box rows
+        for t in range(T):
+            A0[spec.r_d + t, spec.off_d + t] = 1.0
+        # obstacle rows: -1 on d_t, +1 on z_{t,i}
+        for t in range(T):
+            for i in range(K):
+                row = spec.r_obs + t * K + i
+                A0[row, spec.off_d + t] = -1.0
+                A0[row, spec.off_z + t * K + i] = 1.0
+        # z >= 0 rows
+        for t in range(T * K):
+            A0[spec.r_z + t, spec.off_z + t] = 1.0
+    return A0
+
+
+def _dyn_indices(spec: NRMPSpec):
+    """Index grids for scattering A_t / B_t blocks into the dyn rows."""
+    T = spec.T
+    t = np.arange(T)[:, None, None]
+    r = np.arange(3)[None, :, None]
+    rows_a = np.broadcast_to(3 * t + r, (T, 3, 3))
+    cols_a = np.broadcast_to(3 * t + np.arange(3)[None, None, :], (T, 3, 3))
+    rows_b = np.broadcast_to(3 * t + r, (T, 3, 2))
+    cols_b = np.broadcast_to(
+        spec.off_u + 2 * t + np.arange(2)[None, None, :], (T, 3, 2)
+    )
+    return rows_a, cols_a, rows_b, cols_b
+
+
+def _obs_indices(spec: NRMPSpec):
+    T, K = spec.T, spec.K
+    t = np.arange(T)[:, None, None]
+    i = np.arange(K)[None, :, None]
+    rows = np.broadcast_to(spec.r_obs + t * K + i, (T, K, 2))
+    cols = np.broadcast_to(3 * (t + 1) + np.arange(2)[None, None, :], (T, K, 2))
+    return rows, cols
+
+
+def build_qp(
+    spec: NRMPSpec,
+    adjust: AdjustParams,
+    nom_s: jnp.ndarray,     # (3, T+1)
+    nom_u: jnp.ndarray,     # (2, T)  (enters only via linearization, unused here)
+    ref_s: jnp.ndarray,     # (3, T+1)
+    ref_us: jnp.ndarray,    # (T,)
+    A_dyn: jnp.ndarray,     # (T, 3, 3)
+    B_dyn: jnp.ndarray,     # (T, 3, 2)
+    C_dyn: jnp.ndarray,     # (T, 3, 1)
+    fa: Optional[jnp.ndarray] = None,   # (T, K, 2)
+    fb: Optional[jnp.ndarray] = None,   # (T, K)
+) -> QPData:
+    """Assemble the NRMP QP in OSQP standard form."""
+    T, K = spec.T, spec.K
+    dtype = nom_s.dtype
+
+    q_s_vec = jnp.broadcast_to(jnp.reshape(adjust.q_s, (-1,)), (3,)).astype(dtype)
+    p_u = adjust.p_u.astype(dtype)
+
+    # state-cost mask: omni uses x,y rows only (robot.py:163-166)
+    m_s = jnp.asarray(
+        [1.0, 1.0, 0.0] if spec.kinematics == "omni" else [1.0, 1.0, 1.0],
+        dtype=dtype,
+    )
+
+    # ---- objective -------------------------------------------------------
+    w_s = m_s * q_s_vec**2                       # (3,)
+    P_s = jnp.tile(2.0 * w_s + spec.bk, T + 1)   # (3(T+1),)
+    q_lin_s = (-2.0 * w_s[:, None] * ref_s - spec.bk * nom_s).T.reshape(-1)
+
+    P_u = jnp.tile(jnp.stack([2.0 * p_u**2, jnp.zeros_like(p_u)]), T)
+    q_lin_u = jnp.stack(
+        [-2.0 * p_u**2 * ref_us, jnp.zeros_like(ref_us)], axis=-1
+    ).reshape(-1)
+
+    if spec.no_obs:
+        P_diag = jnp.concatenate([P_s, P_u])
+        q_lin = jnp.concatenate([q_lin_s, q_lin_u])
+    else:
+        P_d = jnp.zeros((T,), dtype)
+        q_lin_d = jnp.full((T,), -1.0, dtype) * adjust.eta.astype(dtype)
+        P_z = jnp.full((T * K,), spec.ro_obs, dtype)
+        q_lin_z = jnp.zeros((T * K,), dtype)
+        P_diag = jnp.concatenate([P_s, P_u, P_d, P_z])
+        q_lin = jnp.concatenate([q_lin_s, q_lin_u, q_lin_d, q_lin_z])
+
+    # ---- constraint matrix ----------------------------------------------
+    A = jnp.asarray(_static_template(spec), dtype=dtype)
+    rows_a, cols_a, rows_b, cols_b = _dyn_indices(spec)
+    A = A.at[rows_a, cols_a].set(A_dyn.astype(dtype))
+    A = A.at[rows_b, cols_b].set(B_dyn.astype(dtype))
+    if not spec.no_obs:
+        rows_o, cols_o = _obs_indices(spec)
+        A = A.at[rows_o, cols_o].set(fa.astype(dtype))
+
+    # ---- bounds ----------------------------------------------------------
+    neg_C = -C_dyn[:, :, 0].reshape(-1)          # (3T,)
+    s0 = nom_s[:, 0]
+    acce = jnp.tile(jnp.asarray(spec.acce_bound, dtype), T - 1)
+    speed = jnp.tile(jnp.asarray(spec.speed_bound, dtype), T)
+
+    l_parts = [neg_C, s0, -acce, -speed]
+    u_parts = [neg_C, s0, acce, speed]
+    if not spec.no_obs:
+        d_lo = jnp.full((T,), 1.0, dtype) * jnp.maximum(adjust.d_min, 0.0)
+        d_hi = jnp.full((T,), 1.0, dtype) * adjust.d_max
+        obs_lo = fb.reshape(-1).astype(dtype)
+        obs_hi = jnp.full((T * K,), _INF, dtype)
+        z_lo = jnp.zeros((T * K,), dtype)
+        z_hi = jnp.full((T * K,), _INF, dtype)
+        l_parts += [d_lo, obs_lo, z_lo]
+        u_parts += [d_hi, obs_hi, z_hi]
+
+    l = jnp.concatenate(l_parts)
+    u = jnp.concatenate(u_parts)
+
+    return QPData(P_diag=P_diag, q=q_lin, A=A, l=l, u=u)
+
+
+def unpack_solution(spec: NRMPSpec, x: jnp.ndarray):
+    """Split the stacked primal vector into (s (3,T+1), u (2,T), d (T,))."""
+    T = spec.T
+    s = x[: spec.n_s].reshape(T + 1, 3).T
+    u = x[spec.off_u: spec.off_u + spec.n_u].reshape(T, 2).T
+    if spec.no_obs:
+        d = None
+    else:
+        d = x[spec.off_d: spec.off_d + T]
+    return s, u, d
+
+
+def coefficients_from_dune(spec: NRMPSpec, mu_k, lam_k, points_k, valid_k,
+                           h: jnp.ndarray, has_points: jnp.ndarray):
+    """Build the (fa, fb) obstacle coefficients for frames 1..T.
+
+    Parity with reference nrmp.py:220-261: fa = lam', fb = lam'p + mu'h per
+    sorted point; slots beyond the number of available points replicate the
+    closest point's row; when there are no points at all, fa = fb = 0.
+
+    Args:
+        mu_k: (T+1, E, K), lam_k: (T+1, 2, K), points_k: (T+1, 2, K),
+        valid_k: (T+1, K) bool, h: (E, 1), has_points: scalar bool.
+    Returns:
+        fa (T, K, 2), fb (T, K)
+    """
+    T, K = spec.T, spec.K
+    lam_f = lam_k[1:]                              # (T, 2, K)
+    mu_f = mu_k[1:]                                # (T, E, K)
+    pts_f = points_k[1:]                           # (T, 2, K)
+    val_f = valid_k[1:]                            # (T, K)
+
+    fa = jnp.swapaxes(lam_f, 1, 2)                 # (T, K, 2)
+    fb = (
+        jnp.einsum("tak,tak->tk", lam_f, pts_f)
+        + jnp.einsum("tek,e->tk", mu_f, h[:, 0])
+    )                                              # (T, K)
+
+    # replicate row 0 into invalid slots (sorted => valid slots come first)
+    idx = jnp.where(val_f, jnp.arange(K)[None, :], 0)
+    fa = jnp.take_along_axis(fa, idx[:, :, None], axis=1)
+    fb = jnp.take_along_axis(fb, idx, axis=1)
+
+    fa = jnp.where(has_points, fa, 0.0)
+    fb = jnp.where(has_points, fb, 0.0)
+    return fa, fb

@@ -1,0 +1,229 @@
+"""PAN — proximal alternating-minimization network, jitted TPU core.
+
+Re-design of the reference PAN loop (reference: blocks/pan.py:109-243) as a
+fixed-shape, fixed-unroll alternation between DUNE (ops/dune.py) and the
+NRMP QP (ops/nrmp.py + ops/qp.py):
+
+* obstacle points are padded to a static P and masked, replacing the
+  reference's Python-level decimation-then-variable-width tensors;
+* the data-dependent early-stop break becomes a ``done`` flag that freezes
+  the carried iterates — identical outputs, static control flow;
+* the reference's cross-call convergence memory (PAN.current_nom_values,
+  pan.py:100-107, persists between control steps) and the QP warm start are
+  both carried in an explicit ``PANState`` pytree.
+
+Everything in this module is pure and vmappable over a scenario axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from neupan_tpu.ops.dune import DuneOutput, dune_forward, generate_point_flow
+from neupan_tpu.ops.nrmp import (
+    AdjustParams,
+    NRMPSpec,
+    build_qp,
+    coefficients_from_dune,
+    unpack_solution,
+)
+from neupan_tpu.ops.qp import ADMMConfig, solve_qp
+from neupan_tpu.robot import Robot
+
+_INF = 1e9
+
+
+@dataclasses.dataclass(frozen=True)
+class PANSpec:
+    robot: Robot
+    nrmp: NRMPSpec
+    iter_num: int = 2
+    iter_threshold: float = 0.1
+    dune_max_num: int = 100     # static padded point capacity P
+    admm: ADMMConfig = ADMMConfig()
+
+
+class PANState(NamedTuple):
+    """Cross-step memory: convergence reference values + QP warm start."""
+
+    prev_mu: jnp.ndarray     # (T+1, E, K)
+    prev_lam: jnp.ndarray    # (T+1, 2, K)
+    prev_s: jnp.ndarray      # (3, T+1)
+    prev_u: jnp.ndarray      # (2, T)
+    prev_valid: jnp.ndarray  # () bool — were prev_* ever populated
+    prev_has_points: jnp.ndarray  # () bool
+    x_warm: jnp.ndarray      # (n,)
+    y_warm: jnp.ndarray      # (m,)
+
+
+class PANOutput(NamedTuple):
+    opt_s: jnp.ndarray         # (3, T+1)
+    opt_u: jnp.ndarray         # (2, T)
+    opt_d: Optional[jnp.ndarray]  # (T,) or None in no-obs mode
+    min_distance: jnp.ndarray  # ()
+    nrmp_points: jnp.ndarray   # (2, K) sorted frame-0 points fed to NRMP
+    nrmp_valid: jnp.ndarray    # (K,) bool
+    state: PANState
+
+
+def init_state(spec: PANSpec, dtype=jnp.float32) -> PANState:
+    T = spec.robot.T
+    E = spec.robot.edge_dim
+    K = max(spec.nrmp.K, 1)
+    return PANState(
+        prev_mu=jnp.zeros((T + 1, E, K), dtype),
+        prev_lam=jnp.zeros((T + 1, 2, K), dtype),
+        prev_s=jnp.zeros((3, T + 1), dtype),
+        prev_u=jnp.zeros((2, T), dtype),
+        prev_valid=jnp.asarray(False),
+        prev_has_points=jnp.asarray(False),
+        x_warm=jnp.zeros((spec.nrmp.n,), dtype),
+        y_warm=jnp.zeros((spec.nrmp.m,), dtype),
+    )
+
+
+def _stop_diff(spec: PANSpec, state: PANState, s, u, dune: Optional[DuneOutput],
+               has_points, n_valid):
+    """Convergence measure, parity with reference pan.py:215-243."""
+    su_diff = jnp.sum((s - state.prev_s) ** 2) + jnp.sum((u - state.prev_u) ** 2)
+    if dune is None:
+        return su_diff
+    K = spec.nrmp.K
+    col_mask = (jnp.arange(K) < n_valid).astype(s.dtype)[None, None, :]
+    denom = jnp.maximum(n_valid, 1).astype(s.dtype)
+    mu_diff = jnp.sqrt(jnp.sum(((dune.mu_k - state.prev_mu) * col_mask) ** 2)) / denom
+    lam_diff = jnp.sqrt(jnp.sum(((dune.lam_k - state.prev_lam) * col_mask) ** 2)) / denom
+    mulam = mu_diff**2 + lam_diff**2
+    use_mulam = has_points & state.prev_has_points & (n_valid > 0)
+    return jnp.where(use_mulam, mulam, su_diff)
+
+
+def pan_forward(
+    spec: PANSpec,
+    dune_params,
+    G: jnp.ndarray,            # (E, 2)
+    h: jnp.ndarray,            # (E, 1)
+    adjust: AdjustParams,
+    nom_s: jnp.ndarray,        # (3, T+1)
+    nom_u: jnp.ndarray,        # (2, T)
+    ref_s: jnp.ndarray,        # (3, T+1)
+    ref_us: jnp.ndarray,       # (T,)
+    points: jnp.ndarray,       # (2, P) padded world-frame points
+    velocities: jnp.ndarray,   # (2, P)
+    mask: jnp.ndarray,         # (P,) bool
+    state: PANState,
+) -> PANOutput:
+    """One full PAN control-step computation (pure, jittable, vmappable)."""
+    robot = spec.robot
+    T, K = robot.T, spec.nrmp.K
+    dtype = nom_s.dtype
+    has_points = jnp.any(mask)
+    n_valid_points = jnp.sum(mask.astype(jnp.int32))
+    n_valid = jnp.minimum(n_valid_points, K)
+
+    if spec.nrmp.no_obs:
+        return _pan_forward_no_obs(spec, adjust, nom_s, nom_u, ref_s, ref_us, state)
+
+    done = jnp.asarray(False)
+    min_distance = jnp.asarray(_INF, dtype)
+    opt_d = jnp.zeros((T,), dtype)
+    nrmp_pts = jnp.zeros((2, K), dtype)
+    nrmp_val = jnp.zeros((K,), dtype=bool)
+    cur = state
+
+    for _ in range(spec.iter_num):
+        # --- DUNE ---------------------------------------------------------
+        pf, R_all, pts_glob = generate_point_flow(nom_s, points, velocities, robot.dt)
+        dune = dune_forward(dune_params, G, h, pf, R_all, pts_glob, mask, K)
+
+        # --- NRMP ---------------------------------------------------------
+        fa, fb = coefficients_from_dune(spec.nrmp, dune.mu_k, dune.lam_k,
+                                        dune.points_k, dune.valid_k, h, has_points)
+        A_dyn, B_dyn, C_dyn = robot.linearize(nom_s, nom_u)
+        qp = build_qp(spec.nrmp, adjust, nom_s, nom_u, ref_s, ref_us,
+                      A_dyn, B_dyn, C_dyn, fa, fb)
+        sol = solve_qp(qp, spec.admm, cur.x_warm, cur.y_warm)
+        s_new, u_new, d_new = unpack_solution(spec.nrmp, sol.x)
+
+        # --- convergence test (computed with the *new* iterates) ----------
+        diff = _stop_diff(spec, cur, s_new, u_new, dune, has_points, n_valid)
+        newly_done = (diff < spec.iter_threshold) & cur.prev_valid
+
+        # --- freeze-once-converged updates --------------------------------
+        keep = done  # if already done, discard this iteration's work
+
+        def upd(old, new):
+            return jnp.where(keep, old, new)
+
+        nom_s = upd(nom_s, s_new)
+        nom_u = upd(nom_u, u_new)
+        opt_d = upd(opt_d, d_new)
+        min_distance = upd(min_distance, dune.min_distance)
+        nrmp_pts = upd(nrmp_pts, dune.points_k[0])
+        nrmp_val = jnp.where(keep, nrmp_val, dune.valid_k[0])
+        cur = PANState(
+            prev_mu=upd(cur.prev_mu, dune.mu_k),
+            prev_lam=upd(cur.prev_lam, dune.lam_k),
+            prev_s=upd(cur.prev_s, s_new),
+            prev_u=upd(cur.prev_u, u_new),
+            prev_valid=cur.prev_valid | ~keep,
+            prev_has_points=jnp.where(keep, cur.prev_has_points, has_points),
+            x_warm=upd(cur.x_warm, sol.x),
+            y_warm=upd(cur.y_warm, sol.y),
+        )
+        done = done | newly_done
+
+    return PANOutput(
+        opt_s=nom_s, opt_u=nom_u, opt_d=opt_d,
+        min_distance=jnp.where(has_points, min_distance, jnp.asarray(_INF, dtype)),
+        nrmp_points=nrmp_pts, nrmp_valid=nrmp_val, state=cur,
+    )
+
+
+def _pan_forward_no_obs(spec: PANSpec, adjust: AdjustParams,
+                        nom_s, nom_u, ref_s, ref_us, state: PANState) -> PANOutput:
+    """Degenerate mode without obstacle handling (nrmp_max_num == 0,
+    reference pan.py:85,130-138)."""
+    robot = spec.robot
+    dtype = nom_s.dtype
+    done = jnp.asarray(False)
+    cur = state
+
+    for _ in range(spec.iter_num):
+        A_dyn, B_dyn, C_dyn = robot.linearize(nom_s, nom_u)
+        qp = build_qp(spec.nrmp, adjust, nom_s, nom_u, ref_s, ref_us,
+                      A_dyn, B_dyn, C_dyn)
+        sol = solve_qp(qp, spec.admm, cur.x_warm, cur.y_warm)
+        s_new, u_new, _ = unpack_solution(spec.nrmp, sol.x)
+
+        diff = jnp.sum((s_new - cur.prev_s) ** 2) + jnp.sum((u_new - cur.prev_u) ** 2)
+        newly_done = (diff < spec.iter_threshold) & cur.prev_valid
+
+        keep = done
+
+        def upd(old, new):
+            return jnp.where(keep, old, new)
+
+        nom_s = upd(nom_s, s_new)
+        nom_u = upd(nom_u, u_new)
+        cur = cur._replace(
+            prev_s=upd(cur.prev_s, s_new),
+            prev_u=upd(cur.prev_u, u_new),
+            prev_valid=cur.prev_valid | ~keep,
+            prev_has_points=jnp.where(keep, cur.prev_has_points, False),
+            x_warm=upd(cur.x_warm, sol.x),
+            y_warm=upd(cur.y_warm, sol.y),
+        )
+        done = done | newly_done
+
+    K = max(spec.nrmp.K, 1)
+    return PANOutput(
+        opt_s=nom_s, opt_u=nom_u, opt_d=None,
+        min_distance=jnp.asarray(_INF, dtype),
+        nrmp_points=jnp.zeros((2, K), dtype),
+        nrmp_valid=jnp.zeros((K,), dtype=bool),
+        state=cur,
+    )

@@ -1,0 +1,224 @@
+"""Lightweight 2-D closed-loop simulator with a ray-cast lidar.
+
+Replaces IR-SIM for CI and benchmarking (the reference's examples depend on
+the external ``ir-sim`` package, reference: example/run_exp.py:18).  Features
+needed by the NeuPAN capability surface:
+
+  * exact diff/acker/omni robot stepping (same models as the planner);
+  * polygon / rectangle / circle obstacles, optionally moving (dynamic
+    scenarios) with per-point velocity exposure for scan_to_point_velocity;
+  * vectorized 2-D lidar: beams x segment intersection in one numpy op;
+  * collision check: robot polygon vs obstacle edges + containment;
+  * goal arrival check.
+
+Host-side numpy only — the simulator is the test harness, not the product.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from math import cos, pi, sin
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from neupan_tpu.robot import Robot
+from neupan_tpu.utils import get_transform
+
+
+@dataclasses.dataclass
+class Obstacle:
+    vertices: np.ndarray              # (2, V) world-frame polygon (closed implicitly)
+    velocity: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((2, 1)))
+
+    def step(self, dt: float):
+        self.vertices = self.vertices + self.velocity * dt
+
+    @property
+    def segments(self):
+        """(S, 2, 2): [start, end] per edge."""
+        v = self.vertices
+        nxt = np.roll(v, -1, axis=1)
+        return np.stack([v.T, nxt.T], axis=1)
+
+
+def rectangle_obstacle(cx, cy, theta, length, width, velocity=(0.0, 0.0)) -> Obstacle:
+    local = np.array([
+        [-length / 2, length / 2, length / 2, -length / 2],
+        [-width / 2, -width / 2, width / 2, width / 2],
+    ])
+    R = np.array([[cos(theta), -sin(theta)], [sin(theta), cos(theta)]])
+    verts = R @ local + np.array([[cx], [cy]])
+    return Obstacle(verts, np.asarray(velocity, dtype=np.float64).reshape(2, 1))
+
+
+def circle_obstacle(cx, cy, radius, n=16, velocity=(0.0, 0.0)) -> Obstacle:
+    ang = np.linspace(0, 2 * pi, n, endpoint=False)
+    verts = np.vstack([cx + radius * np.cos(ang), cy + radius * np.sin(ang)])
+    return Obstacle(verts, np.asarray(velocity, dtype=np.float64).reshape(2, 1))
+
+
+def polygon_obstacle(vertices, velocity=(0.0, 0.0)) -> Obstacle:
+    v = np.asarray(vertices, dtype=np.float64)
+    if v.shape[0] != 2:
+        v = v.T
+    return Obstacle(v, np.asarray(velocity, dtype=np.float64).reshape(2, 1))
+
+
+@dataclasses.dataclass
+class LidarSpec:
+    range_min: float = 0.0
+    range_max: float = 10.0
+    angle_min: float = -pi
+    angle_max: float = pi
+    number: int = 100
+
+
+class Sim2D:
+    """Minimal closed-loop world for a single robot."""
+
+    def __init__(self, robot: Robot, start_state, goal,
+                 obstacles: Optional[List[Obstacle]] = None,
+                 lidar: Optional[LidarSpec] = None,
+                 goal_threshold: float = 0.3,
+                 step_time: Optional[float] = None):
+        self.robot = robot
+        self.state = np.asarray(start_state, dtype=np.float64).reshape(-1, 1)[:3]
+        self.goal = np.asarray(goal, dtype=np.float64).reshape(-1, 1)[:3]
+        self.obstacles = obstacles or []
+        self.lidar = lidar or LidarSpec()
+        self.goal_threshold = goal_threshold
+        self.dt = step_time if step_time is not None else robot.dt
+        self.collided = False
+        self.steps = 0
+
+    # -- dynamics ----------------------------------------------------------
+
+    def step(self, action: np.ndarray):
+        """Advance robot with the exact kinematic model + move obstacles."""
+        a = np.asarray(action, dtype=np.float64).reshape(2, 1)
+        phi = self.state[2, 0]
+        v = a[0, 0]
+        if self.robot.kinematics == "acker":
+            ds = np.array([[v * cos(phi)], [v * sin(phi)],
+                           [v * np.tan(a[1, 0]) / self.robot.L]])
+        elif self.robot.kinematics == "diff":
+            ds = np.array([[v * cos(phi)], [v * sin(phi)], [a[1, 0]]])
+        else:  # omni: action already [vx, vy] (facade converts)
+            ds = np.array([[a[0, 0]], [a[1, 0]], [0.0]])
+        self.state = self.state + ds * self.dt
+        for obs in self.obstacles:
+            obs.step(self.dt)
+        self.steps += 1
+        if self._check_collision():
+            self.collided = True
+
+    def get_robot_state(self) -> np.ndarray:
+        return self.state.copy()
+
+    def arrived(self) -> bool:
+        return float(np.linalg.norm(self.state[0:2] - self.goal[0:2])) < self.goal_threshold
+
+    def done(self) -> bool:
+        return self.arrived() or self.collided
+
+    # -- lidar -------------------------------------------------------------
+
+    def _all_segments(self) -> np.ndarray:
+        if not self.obstacles:
+            return np.zeros((0, 2, 2))
+        return np.concatenate([o.segments for o in self.obstacles], axis=0)
+
+    def _segment_velocities(self) -> np.ndarray:
+        if not self.obstacles:
+            return np.zeros((0, 2))
+        return np.concatenate(
+            [np.repeat(o.velocity.T, o.vertices.shape[1], axis=0)
+             for o in self.obstacles], axis=0)
+
+    def get_lidar_scan(self) -> dict:
+        """Ray-cast all beams against all obstacle segments, vectorized.
+
+        Returns a scan dict compatible with ``NeuPan.scan_to_point`` —
+        ranges are measured in the robot frame (sensor at robot origin).
+        """
+        spec = self.lidar
+        x, y, th = self.state[0, 0], self.state[1, 0], self.state[2, 0]
+        angles = np.linspace(spec.angle_min, spec.angle_max, spec.number) + th
+        dirs = np.stack([np.cos(angles), np.sin(angles)], axis=1)  # (B, 2)
+
+        segs = self._all_segments()                                # (S, 2, 2)
+        B, S = dirs.shape[0], segs.shape[0]
+        ranges = np.full(B, spec.range_max)
+        hit_seg = np.full(B, -1, dtype=int)
+        if S > 0:
+            o = np.array([x, y])
+            p = segs[:, 0, :]                                      # (S, 2)
+            r = segs[:, 1, :] - segs[:, 0, :]                      # (S, 2)
+            # solve o + t*d = p + u*r for each (beam, segment)
+            d = dirs[:, None, :]                                   # (B, 1, 2)
+            denom = d[..., 0] * (-r[None, :, 1]) - d[..., 1] * (-r[None, :, 0])
+            po = p[None, :, :] - o[None, None, :]
+            t_num = po[..., 0] * (-r[None, :, 1]) - po[..., 1] * (-r[None, :, 0])
+            u_num = d[..., 0] * po[..., 1] - d[..., 1] * po[..., 0]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = t_num / denom
+                u = u_num / denom
+            valid = (np.abs(denom) > 1e-12) & (t > spec.range_min) & \
+                    (u >= 0.0) & (u <= 1.0) & (t <= spec.range_max)
+            t = np.where(valid, t, np.inf)                         # (B, S)
+            idx = np.argmin(t, axis=1)
+            best = t[np.arange(B), idx]
+            hit = np.isfinite(best)
+            ranges = np.where(hit, best, spec.range_max)
+            hit_seg = np.where(hit, idx, -1)
+
+        seg_vel = self._segment_velocities()
+        velocity = np.zeros((2, B))
+        if seg_vel.shape[0] > 0:
+            hit = hit_seg >= 0
+            velocity[:, hit] = seg_vel[hit_seg[hit]].T
+
+        return {
+            "ranges": ranges,
+            "angle_min": spec.angle_min,
+            "angle_max": spec.angle_max,
+            "range_min": spec.range_min,
+            "range_max": spec.range_max,
+            "velocity": velocity,
+        }
+
+    # -- collision ---------------------------------------------------------
+
+    def _check_collision(self) -> bool:
+        """Robot polygon vs obstacle edges (intersection or containment)."""
+        trans, R = get_transform(self.state)
+        rverts = R @ self.robot.vertices + trans        # (2, V)
+        segs = self._all_segments()
+        if segs.shape[0] == 0:
+            return False
+        rv = rverts.T
+        rsegs = np.stack([rv, np.roll(rv, -1, axis=0)], axis=1)   # (Vr, 2, 2)
+        if _segments_intersect_any(rsegs, segs):
+            return True
+        # containment: any obstacle vertex inside the robot polygon
+        G, h = self.robot.G, self.robot.h
+        pts_local = R.T @ (segs[:, 0, :].T - trans)
+        inside = np.all(G @ pts_local - h <= 0, axis=0)
+        return bool(np.any(inside))
+
+
+def _segments_intersect_any(a: np.ndarray, b: np.ndarray) -> bool:
+    """Any intersection between segment sets a (N,2,2) and b (M,2,2)."""
+    p, r = a[:, 0, :], a[:, 1, :] - a[:, 0, :]
+    q, s = b[:, 0, :], b[:, 1, :] - b[:, 0, :]
+    denom = r[:, None, 0] * s[None, :, 1] - r[:, None, 1] * s[None, :, 0]
+    qp = q[None, :, :] - p[:, None, :]
+    t_num = qp[..., 0] * s[None, :, 1] - qp[..., 1] * s[None, :, 0]
+    u_num = qp[..., 0] * r[:, None, 1] - qp[..., 1] * r[:, None, 0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = t_num / denom
+        u = u_num / denom
+    hit = (np.abs(denom) > 1e-12) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    return bool(np.any(hit))

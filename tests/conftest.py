@@ -1,0 +1,33 @@
+"""Test configuration: force an 8-device virtual CPU mesh before jax loads.
+
+All unit/integration tests run on CPU (fast, deterministic, no TPU
+contention); multi-device sharding tests use the 8 virtual host devices.
+"""
+
+import os
+
+# Force CPU: the ambient environment may point JAX at a tunneled TPU
+# (JAX_PLATFORMS=axon), which is slow and contended for unit tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+# Persistent compilation cache: jit compiles dominate test wall-clock here.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

@@ -1,0 +1,136 @@
+"""PAN loop tests: alternation, freeze-on-converge, no-obs mode, state carry."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neupan_tpu.models import obs_point_net
+from neupan_tpu.ops.nrmp import AdjustParams, NRMPSpec
+from neupan_tpu.ops.pan import PANSpec, init_state, pan_forward
+from neupan_tpu.ops.qp import ADMMConfig
+from neupan_tpu.robot import Robot
+
+
+def make_spec(T=4, K=3, P=8, kinematics="diff", iter_num=2, no_obs=False):
+    robot = Robot.create(receding=T, step_time=0.1, kinematics=kinematics,
+                         max_speed=[4, 2], max_acce=[4, 2],
+                         length=1.6, width=1.0)
+    nrmp = NRMPSpec(T=T, K=0 if no_obs else K, kinematics=kinematics,
+                    speed_bound=tuple(robot.speed_bound[:, 0]),
+                    acce_bound=tuple(robot.acce_bound[:, 0]),
+                    ro_obs=100.0, bk=0.1)
+    return PANSpec(robot=robot, nrmp=nrmp, iter_num=iter_num,
+                   iter_threshold=0.1, dune_max_num=P,
+                   admm=ADMMConfig(iters=100))
+
+
+def make_inputs(spec, seed=0, n_points=None):
+    rng = np.random.default_rng(seed)
+    T, P = spec.robot.T, spec.dune_max_num
+    nom_u = jnp.zeros((2, T), jnp.float32)
+    nom_s = spec.robot.rollout(jnp.zeros(3, jnp.float32), nom_u)
+    ref_s = jnp.asarray(
+        np.linspace([0, 0, 0], [1, 0, 0], T + 1).T, jnp.float32)
+    ref_us = jnp.ones((T,), jnp.float32)
+    n = P if n_points is None else n_points
+    pts = np.full((2, P), 50.0, dtype=np.float32)
+    pts[:, :n] = rng.uniform(1.5, 4.0, (2, n))
+    mask = jnp.asarray(np.arange(P) < n)
+    return (nom_s, nom_u, ref_s, ref_us, jnp.asarray(pts),
+            jnp.zeros((2, P), jnp.float32), mask)
+
+
+def geometry(spec):
+    return (jnp.asarray(spec.robot.G, jnp.float32),
+            jnp.asarray(spec.robot.h, jnp.float32))
+
+
+def params_for(spec):
+    return obs_point_net.init_params(jax.random.PRNGKey(0), 2,
+                                     spec.robot.edge_dim)
+
+
+ADJ = AdjustParams(q_s=jnp.asarray(1.0), p_u=jnp.asarray(1.0),
+                   eta=jnp.asarray(8.0), d_max=jnp.asarray(1.0),
+                   d_min=jnp.asarray(0.1))
+
+
+def test_pan_forward_shapes_and_motion():
+    spec = make_spec()
+    G, h = geometry(spec)
+    out = pan_forward(spec, params_for(spec), G, h, ADJ,
+                      *make_inputs(spec), init_state(spec))
+    T = spec.robot.T
+    assert out.opt_s.shape == (3, T + 1)
+    assert out.opt_u.shape == (2, T)
+    assert out.opt_d.shape == (T,)
+    # tracking a forward reference: first commanded speed is positive
+    assert float(out.opt_u[0, 0]) > 0.1
+    assert np.isfinite(float(out.min_distance))
+
+
+def test_pan_no_points_matches_no_obs_objective():
+    """With zero valid points, fa=fb=0; motion should track the reference
+    like the pure tracking problem (modulo the constant d/z block)."""
+    spec = make_spec()
+    G, h = geometry(spec)
+    nom_s, nom_u, ref_s, ref_us, pts, vels, _ = make_inputs(spec)
+    mask_none = jnp.zeros(spec.dune_max_num, bool)
+    out = pan_forward(spec, params_for(spec), G, h, ADJ,
+                      nom_s, nom_u, ref_s, ref_us, pts, vels, mask_none,
+                      init_state(spec))
+    assert float(out.min_distance) > 1e8  # inf sentinel
+
+    spec_no = make_spec(no_obs=True)
+    out_no = pan_forward(spec_no, params_for(spec_no), G, h, ADJ,
+                         nom_s, nom_u, ref_s, ref_us, pts, vels, mask_none,
+                         init_state(spec_no))
+    np.testing.assert_allclose(np.asarray(out.opt_u), np.asarray(out_no.opt_u),
+                               atol=5e-3)
+
+
+def test_pan_state_carry_and_warm_start():
+    spec = make_spec()
+    G, h = geometry(spec)
+    params = params_for(spec)
+    inputs = make_inputs(spec)
+    st0 = init_state(spec)
+    out1 = pan_forward(spec, params, G, h, ADJ, *inputs, st0)
+    assert bool(out1.state.prev_valid)
+    # warm-started second call from the same inputs converges immediately
+    out2 = pan_forward(spec, params, G, h, ADJ, *inputs, out1.state)
+    np.testing.assert_allclose(np.asarray(out2.opt_u), np.asarray(out1.opt_u),
+                               atol=1e-2)
+
+
+def test_pan_iter_num_one_vs_two_differ_initially():
+    spec1 = make_spec(iter_num=1)
+    spec2 = make_spec(iter_num=2)
+    G, h = geometry(spec1)
+    params = params_for(spec1)
+    inputs = make_inputs(spec1, seed=5)
+    o1 = pan_forward(spec1, params, G, h, ADJ, *inputs, init_state(spec1))
+    o2 = pan_forward(spec2, params, G, h, ADJ, *inputs, init_state(spec2))
+    # second iteration refines the solution (not frozen on the first call)
+    assert not np.allclose(np.asarray(o1.opt_u), np.asarray(o2.opt_u), atol=1e-6)
+
+
+def test_pan_jit_and_vmap():
+    spec = make_spec()
+    G, h = geometry(spec)
+    params = params_for(spec)
+
+    step = jax.jit(lambda *a: pan_forward(spec, params, G, h, ADJ, *a))
+    inputs = make_inputs(spec)
+    out = step(*inputs, init_state(spec))
+    assert out.opt_u.shape == (2, spec.robot.T)
+
+    # scenario-batched via vmap
+    B = 3
+    binputs = [jnp.stack([v] * B) for v in inputs]
+    bstate = jax.tree.map(lambda v: jnp.stack([v] * B), init_state(spec))
+    bout = jax.vmap(lambda *a: pan_forward(spec, params, G, h, ADJ, *a))(
+        *binputs, bstate)
+    assert bout.opt_u.shape == (B, 2, spec.robot.T)
+    np.testing.assert_allclose(np.asarray(bout.opt_u[0]),
+                               np.asarray(out.opt_u), atol=1e-5)
