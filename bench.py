@@ -1,0 +1,99 @@
+"""Benchmark: full NeuPAN solves/s on one chip.
+
+Measures the complete per-tick computation — point flow, DUNE encoding of
+2048 obstacle points across all T+1 horizon frames, two PAN iterations each
+with the NRMP ADMM QP — batched over independent scenarios (the TPU scaling
+axis; SURVEY.md §6 target: >= 1000 solves/s/chip at T=10 with 2k points).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+# default platform: whatever the driver provides (TPU via axon); fall back
+# to the axon->tpu alias confusion by leaving env untouched.
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from neupan_tpu.models import obs_point_net
+from neupan_tpu.ops.nrmp import AdjustParams, NRMPSpec
+from neupan_tpu.ops.pan import PANSpec
+from neupan_tpu.ops.qp import ADMMConfig
+from neupan_tpu.parallel import batched_init_state, batched_planner_step
+from neupan_tpu.robot import Robot
+
+BASELINE_SOLVES_PER_S = 1000.0  # BASELINE.md target per chip
+
+
+def make_flagship(T=10, P=2048, K=10, admm_iters=60):
+    robot = Robot.create(receding=T, step_time=0.1, kinematics="diff",
+                         max_speed=[8, 1], max_acce=[8, 3],
+                         length=1.6, width=2.0)
+    nrmp = NRMPSpec(T=T, K=K, kinematics="diff",
+                    speed_bound=tuple(robot.speed_bound[:, 0]),
+                    acce_bound=tuple(robot.acce_bound[:, 0]))
+    spec = PANSpec(robot=robot, nrmp=nrmp, iter_num=2, iter_threshold=0.1,
+                   dune_max_num=P, admm=ADMMConfig(iters=admm_iters))
+    return spec
+
+
+def make_batch(spec, B, seed=0):
+    rng = np.random.default_rng(seed)
+    T, P = spec.robot.T, spec.dune_max_num
+    f32 = jnp.float32
+    nom_u = jnp.zeros((B, 2, T), f32)
+    nom_s = jax.vmap(lambda s0, u: spec.robot.rollout(s0, u))(
+        jnp.zeros((B, 3), f32), nom_u)
+    ref_line = np.linspace([0, 0, 0], [4, 0, 0], T + 1).T[None]
+    ref_s = jnp.asarray(np.repeat(ref_line, B, 0), f32)
+    ref_us = jnp.ones((B, T), f32) * 4.0
+    pts = jnp.asarray(rng.uniform(1.0, 9.0, (B, 2, P)), f32)
+    vels = jnp.zeros((B, 2, P), f32)
+    mask = jnp.ones((B, P), bool)
+    return nom_s, nom_u, ref_s, ref_us, pts, vels, mask
+
+
+def bench(B=512, iters=10):
+    spec = make_flagship()
+    G = jnp.asarray(spec.robot.G, jnp.float32)
+    h = jnp.asarray(spec.robot.h, jnp.float32)
+    params = obs_point_net.init_params(jax.random.PRNGKey(0), 2,
+                                       spec.robot.edge_dim)
+    adjust = AdjustParams(q_s=jnp.asarray(1.0), p_u=jnp.asarray(1.0),
+                          eta=jnp.asarray(10.0), d_max=jnp.asarray(1.0),
+                          d_min=jnp.asarray(0.1))
+
+    step = jax.jit(lambda *a: batched_planner_step(spec, params, G, h,
+                                                   adjust, *a))
+    args = make_batch(spec, B)
+    state = batched_init_state(spec, B)
+
+    out = step(*args, state)           # compile + warmup
+    jax.block_until_ready(out)
+    state = out.state
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(*args, out.state)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    solves_per_s = B * iters / dt
+    return solves_per_s, dt / iters
+
+
+if __name__ == "__main__":
+    B = int(os.environ.get("BENCH_BATCH", "512"))
+    sps, step_t = bench(B=B)
+    print(json.dumps({
+        "metric": "neupan_solves_per_s_per_chip_T10_2kpts",
+        "value": round(sps, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(sps / BASELINE_SOLVES_PER_S, 3),
+    }))

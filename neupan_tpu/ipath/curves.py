@@ -43,7 +43,11 @@ def line_curve(waypoints: Sequence, interval: float) -> List[np.ndarray]:
     for a, b in zip(poses[:-1], poses[1:]):
         seg = b[:2] - a[:2]
         dist = float(np.hypot(*seg))
-        theta = atan2(seg[1], seg[0]) if dist > 1e-12 else a[2]
+        if dist < 1e-12:
+            # duplicate waypoint (e.g. start state == first waypoint after
+            # the prepend in init_path_with_state) — emit nothing
+            continue
+        theta = atan2(seg[1], seg[0])
         n = max(int(dist / max(interval, 1e-9)), 1)
         for i in range(n):
             t = i / n

@@ -1,0 +1,85 @@
+"""LON — learning of navigation: online tuning of the adjust parameters.
+
+Parity with the reference's LON examples (reference: example/LON/
+LON_corridor.py): closed-loop episodes differentiate an episode loss through
+the QP layer into the adjustable weights (q_s, p_u, eta, d_max, d_min).
+
+Our QP solver carries a custom VJP (implicit differentiation of the
+active-set KKT system, ops/qp.py), so ``jax.grad`` of any scalar loss built
+from the planner-step outputs w.r.t. ``AdjustParams`` works directly — this
+module packages the common pieces:
+
+  * ``distance_loss`` — the reference's per-step loss shape
+    (LON_corridor.py:10-19): 50 - sum(d) near collision, 50 + sum(d) when
+    stuck, else 0; scaled by 10.
+  * ``step_loss_and_grad`` — one planner step -> (loss, grads wrt adjust);
+  * ``LONTuner`` — optax-based parameter updates with per-leaf masking
+    (the reference optimizes [p_u, eta, d_max] by default).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from neupan_tpu.ops.nrmp import AdjustParams
+from neupan_tpu.ops.pan import PANSpec, PANState, pan_forward
+
+
+def distance_loss(opt_d: jnp.ndarray, min_distance: jnp.ndarray,
+                  collision_threshold: float = 0.3,
+                  stuck: bool | jnp.ndarray = False) -> jnp.ndarray:
+    """Reference LON loss: penalize near-collision / stuck episodes."""
+    near = min_distance < collision_threshold
+    base = jnp.where(near, 50.0 - jnp.sum(opt_d),
+                     jnp.where(stuck, 50.0 + jnp.sum(opt_d), 0.0))
+    return 10.0 * base
+
+
+def step_loss_and_grad(spec: PANSpec, dune_params, G, h,
+                       adjust: AdjustParams,
+                       nom_s, nom_u, ref_s, ref_us,
+                       points, velocities, mask, state: PANState,
+                       loss_fn: Optional[Callable] = None,
+                       collision_threshold: float = 0.3,
+                       stuck=False):
+    """Differentiate one planner step's loss w.r.t. the adjust parameters."""
+    if loss_fn is None:
+        def loss_fn(out):
+            return distance_loss(out.opt_d, out.min_distance,
+                                 collision_threshold, stuck)
+
+    def wrapped(adj):
+        out = pan_forward(spec, dune_params, G, h, adj,
+                          nom_s, nom_u, ref_s, ref_us,
+                          points, velocities, mask, state)
+        return loss_fn(out), out
+
+    (loss, out), grads = jax.value_and_grad(wrapped, has_aux=True)(adjust)
+    return loss, grads, out
+
+
+class LONTuner:
+    """Adam updates on a masked subset of AdjustParams leaves."""
+
+    def __init__(self, adjust: AdjustParams, lr: float = 5e-3,
+                 train_fields: Sequence[str] = ("p_u", "eta", "d_max")):
+        self.train_fields = tuple(train_fields)
+        labels = AdjustParams(*["train" if f in self.train_fields else "freeze"
+                                for f in AdjustParams._fields])
+        self.tx = optax.multi_transform(
+            {"train": optax.adam(lr), "freeze": optax.set_to_zero()}, labels)
+        self.opt_state = self.tx.init(adjust)
+
+    def update(self, adjust: AdjustParams, grads: AdjustParams) -> AdjustParams:
+        updates, self.opt_state = self.tx.update(grads, self.opt_state, adjust)
+        new = optax.apply_updates(adjust, updates)
+        # keep distances meaningful
+        return new._replace(
+            d_max=jnp.maximum(new.d_max, 1e-3),
+            d_min=jnp.maximum(new.d_min, 0.0),
+            eta=jnp.maximum(new.eta, 0.0),
+        )

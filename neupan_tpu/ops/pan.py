@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from neupan_tpu.ops.dune import DuneOutput, dune_forward, generate_point_flow
@@ -44,6 +45,10 @@ class PANSpec:
     iter_threshold: float = 0.1
     dune_max_num: int = 100     # static padded point capacity P
     admm: ADMMConfig = ADMMConfig()
+    # Matmul precision for the whole step.  TPU defaults to bf16 inputs,
+    # which breaks the <=1e-3 control-accuracy contract; "highest" forces
+    # full f32.  Set to "default" to trade accuracy for speed.
+    precision: str = "highest"
 
 
 class PANState(NamedTuple):
@@ -117,6 +122,27 @@ def pan_forward(
     state: PANState,
 ) -> PANOutput:
     """One full PAN control-step computation (pure, jittable, vmappable)."""
+    with jax.default_matmul_precision(spec.precision):
+        return _pan_forward_impl(spec, dune_params, G, h, adjust, nom_s,
+                                 nom_u, ref_s, ref_us, points, velocities,
+                                 mask, state)
+
+
+def _pan_forward_impl(
+    spec: PANSpec,
+    dune_params,
+    G: jnp.ndarray,
+    h: jnp.ndarray,
+    adjust: AdjustParams,
+    nom_s: jnp.ndarray,
+    nom_u: jnp.ndarray,
+    ref_s: jnp.ndarray,
+    ref_us: jnp.ndarray,
+    points: jnp.ndarray,
+    velocities: jnp.ndarray,
+    mask: jnp.ndarray,
+    state: PANState,
+) -> PANOutput:
     robot = spec.robot
     T, K = robot.T, spec.nrmp.K
     dtype = nom_s.dtype

@@ -53,8 +53,15 @@ class QPSolution(NamedTuple):
 
 @dataclasses.dataclass(frozen=True)
 class ADMMConfig:
-    iters: int = 100
-    rho: float = 0.1
+    iters: int = 400
+    # step-size on the Ruiz-equilibrated problem; rho ~ 1 is the natural
+    # scale after equilibration (0.1 converges far too slowly on stiff
+    # obstacle-heavy NRMP instances)
+    rho: float = 1.0
+    # number of residual-balancing rho updates (re-factorizations) spread
+    # evenly across the iterations; one mid-run update is robust — more
+    # frequent updates measured counterproductive on stiff instances
+    rho_updates: int = 1
     rho_eq_scale: float = 1e3
     sigma: float = 1e-6
     alpha: float = 1.6
@@ -148,24 +155,31 @@ def _admm_core(qp: QPData, cfg: ADMMConfig, x0: jnp.ndarray, y0: jnp.ndarray):
         (x, z, y), _ = jax.lax.scan(body, (x, z, y), None, length=iters)
         return x, z, y
 
-    rho1 = _rho_vec(l, u, cfg)
+    def rebalance(base_rho, x, z, y):
+        """OSQP residual-balancing update of the scalar rho."""
+        Ax = A @ x
+        Px, Aty = P * x, A.T @ y
+        rp = jnp.max(jnp.abs(Ax - z)) / jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(z))), 1e-6)
+        rd = jnp.max(jnp.abs(Px + q + Aty)) / jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Px)),
+                        jnp.maximum(jnp.max(jnp.abs(Aty)),
+                                    jnp.max(jnp.abs(q)))), 1e-6)
+        scale = jnp.clip(jnp.sqrt(rp / jnp.maximum(rd, 1e-12)), 1e-2, 1e2)
+        return jnp.clip(base_rho * scale, 1e-4, 1e3)
+
+    n_phases = max(1, int(cfg.rho_updates) + 1)
+    per_phase = max(cfg.iters // n_phases, 1)
+
+    base_rho = jnp.asarray(cfg.rho, P.dtype)
     z0 = jnp.clip(A @ x0, l, u)
-    half = cfg.iters // 2
-    x, z, y = phase(x0, z0, y0, rho1, half)
-
-    # residual-balancing rho update (one refactorization)
-    Ax = A @ x
-    Px, Aty = P * x, A.T @ y
-    rp = jnp.max(jnp.abs(Ax - z)) / jnp.maximum(
-        jnp.maximum(jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(z))), 1e-6)
-    rd = jnp.max(jnp.abs(Px + q + Aty)) / jnp.maximum(
-        jnp.maximum(jnp.max(jnp.abs(Px)), jnp.maximum(jnp.max(jnp.abs(Aty)),
-                                                      jnp.max(jnp.abs(q)))), 1e-6)
-    scale = jnp.clip(jnp.sqrt(rp / jnp.maximum(rd, 1e-12)), 1e-2, 1e2)
-    base = jnp.clip(cfg.rho * scale, 1e-4, 1e3)
-    rho2 = jnp.where(is_eq, base * cfg.rho_eq_scale, base)
-
-    x, z, y = phase(x, z, y, rho2, cfg.iters - half)
+    x, z, y = x0, z0, y0
+    for k in range(n_phases):
+        rho = jnp.where(is_eq, base_rho * cfg.rho_eq_scale, base_rho)
+        iters = per_phase if k < n_phases - 1 else cfg.iters - per_phase * (n_phases - 1)
+        x, z, y = phase(x, z, y, rho, iters)
+        if k < n_phases - 1:
+            base_rho = rebalance(base_rho, x, z, y)
 
     # unscale: x = D x_bar, y = E y_bar / c
     x = D * x
@@ -189,25 +203,17 @@ def kkt_error(P, q, A, l, u, x, y):
     return jnp.maximum(jnp.maximum(stat, viol), jnp.maximum(comp_u, comp_l))
 
 
-def _polish(qp: QPData, cfg: ADMMConfig, x: jnp.ndarray, y: jnp.ndarray):
-    """Active-set polish: masked KKT solve + iterative refinement.
+def _polish_candidate(qp: QPData, cfg: ADMMConfig, low_act, up_act):
+    """Solve the masked active-set KKT system for one active-set guess.
 
     Uses all m rows with a mask so shapes stay static: inactive rows decouple
-    into y_i = 0 equations.  Returns (x_pol, y_pol, Kinv, active, b_act) —
-    the inverse KKT matrix is reused by the implicit-diff backward pass.
+    into y_i = 0 equations.  Returns (x_pol, y_pol, finite_ok).
     """
     P, q, A = qp.P_diag, qp.q, qp.A
     l, u = _clip_bounds(qp.l, qp.u)
     n, m = P.shape[0], A.shape[0]
     is_eq = (u - l) < 1e-9
 
-    # active-set guess: dual sign OR primal proximity to a bound, with a
-    # tolerance tied to the achieved ADMM primal accuracy
-    Ax = x @ A.T if A.ndim == 2 else A @ x
-    rp = jnp.max(jnp.abs(Ax - jnp.clip(Ax, l, u)))
-    tol = jnp.clip(10.0 * rp, 1e-5, 1e-2)
-    low_act = (y < -cfg.eps_act) | (Ax - l < tol)
-    up_act = (y > cfg.eps_act) | (u - Ax < tol)
     active = low_act | up_act | is_eq
     d = active.astype(P.dtype)
     b_act = jnp.where(is_eq, l, jnp.where(up_act, u, l))
@@ -236,27 +242,57 @@ def _polish(qp: QPData, cfg: ADMMConfig, x: jnp.ndarray, y: jnp.ndarray):
     for _ in range(cfg.refine_steps):
         t = t + Kinv @ (g - k0_mul(t))
 
-    x_pol, y_pol = t[:n], t[n:]
+    return t[:n], t[n:], jnp.all(jnp.isfinite(t))
 
-    # Accept the polished point only if it improves the full KKT error:
-    # stationarity + primal feasibility + complementarity (a wrong
-    # active-set guess can otherwise yield an "exact" but wrong solution).
-    ok = jnp.all(jnp.isfinite(t)) & (
-        kkt_error(P, q, A, l, u, x_pol, y_pol) <= kkt_error(P, q, A, l, u, x, y))
-    x_out = jnp.where(ok, x_pol, x)
-    y_out = jnp.where(ok, y_pol, y)
-    return x_out, y_out, Kinv, active, ok
+
+def _polish(qp: QPData, cfg: ADMMConfig, x: jnp.ndarray, y: jnp.ndarray):
+    """Active-set polish with two candidate active sets.
+
+    Candidate 1 (OSQP-style): active where the dual is clearly signed.
+    Candidate 2: additionally activates rows whose constraint value sits
+    within the achieved ADMM accuracy of a bound (catches weakly-active
+    rows whose duals are still small).  The candidate with the smallest
+    full KKT error wins; the ADMM iterate is the fallback.
+    """
+    P, q, A = qp.P_diag, qp.q, qp.A
+    l, u = _clip_bounds(qp.l, qp.u)
+
+    Ax = A @ x
+    rp = jnp.max(jnp.abs(Ax - jnp.clip(Ax, l, u)))
+    tol = jnp.clip(10.0 * rp, 1e-5, 1e-2)
+
+    low1, up1 = y < -cfg.eps_act, y > cfg.eps_act
+    low2 = low1 | (Ax - l < tol)
+    up2 = up1 | (u - Ax < tol)
+
+    x1, y1, ok1 = _polish_candidate(qp, cfg, low1, up1)
+    x2, y2, ok2 = _polish_candidate(qp, cfg, low2, up2)
+
+    big = jnp.asarray(jnp.inf, P.dtype)
+    e0 = kkt_error(P, q, A, l, u, x, y)
+    e1 = jnp.where(ok1, kkt_error(P, q, A, l, u, x1, y1), big)
+    e2 = jnp.where(ok2, kkt_error(P, q, A, l, u, x2, y2), big)
+
+    use1 = (e1 <= e0) & (e1 <= e2)
+    use2 = (e2 <= e0) & ~use1
+    x_out = jnp.where(use1, x1, jnp.where(use2, x2, x))
+    y_out = jnp.where(use1, y1, jnp.where(use2, y2, y))
+    return x_out, y_out, None, None, use1 | use2
 
 
 def _solve_single(qp: QPData, cfg: ADMMConfig,
                   x0: jnp.ndarray, y0: jnp.ndarray) -> QPSolution:
-    x, y, z, rp, rd = _admm_core(qp, cfg, x0, y0)
-    if cfg.polish:
-        x, y, _, _, _ = _polish(qp, cfg, x, y)
-        l, u = _clip_bounds(qp.l, qp.u)
-        z = jnp.clip(qp.A @ x, l, u)
-        rp = jnp.max(jnp.abs(qp.A @ x - z))
-        rd = jnp.max(jnp.abs(qp.P_diag * x + qp.q + qp.A.T @ y))
+    # The solver's accuracy contract (<= 1e-3 control error vs the reference
+    # solver) requires exact f32 matmuls: block bf16 fast paths (TPU MXU
+    # default, CPU AMX) for everything inside the solve.
+    with jax.default_matmul_precision("highest"):
+        x, y, z, rp, rd = _admm_core(qp, cfg, x0, y0)
+        if cfg.polish:
+            x, y, _, _, _ = _polish(qp, cfg, x, y)
+            l, u = _clip_bounds(qp.l, qp.u)
+            z = jnp.clip(qp.A @ x, l, u)
+            rp = jnp.max(jnp.abs(qp.A @ x - z))
+            rd = jnp.max(jnp.abs(qp.P_diag * x + qp.q + qp.A.T @ y))
     return QPSolution(x=x, y=y, z=z, r_prim=rp, r_dual=rd)
 
 
@@ -301,6 +337,11 @@ def _solve_bwd(cfg, res, g):
     parameter gradients follow the OptNet formulas restricted to diagonal P.
     """
     qp, x, y = res
+    with jax.default_matmul_precision("highest"):
+        return _solve_bwd_impl(cfg, qp, x, y, g)
+
+
+def _solve_bwd_impl(cfg, qp, x, y, g):
     P, q, A = qp.P_diag, qp.q, qp.A
     l, u = _clip_bounds(qp.l, qp.u)
     n, m = P.shape[0], A.shape[0]

@@ -304,6 +304,18 @@ class NeuPan:
 
     def _scan_points(self, state, scan, scan_offset, angle_range, down_sample,
                      offset_inverse, min_inclusive):
+        from neupan_tpu import native
+
+        if native.available():
+            pts, vels = native.scan_to_points(
+                scan["ranges"], scan["angle_min"], scan["angle_max"],
+                scan["range_min"], scan["range_max"], angle_range,
+                down_sample, list(scan_offset),
+                np.asarray(state, dtype=np.float64)[:3],
+                velocity=scan.get("velocity"),
+                offset_inverse=offset_inverse, min_inclusive=min_inclusive)
+            return pts, vels
+
         ranges = np.asarray(scan["ranges"], dtype=np.float64)
         n = len(ranges)
         angles = np.linspace(scan["angle_min"], scan["angle_max"], n)

@@ -138,13 +138,36 @@ class Sim2D:
              for o in self.obstacles], axis=0)
 
     def get_lidar_scan(self) -> dict:
-        """Ray-cast all beams against all obstacle segments, vectorized.
+        """Ray-cast all beams against all obstacle segments.
 
-        Returns a scan dict compatible with ``NeuPan.scan_to_point`` —
-        ranges are measured in the robot frame (sensor at robot origin).
+        Uses the native C++ raycaster when built (neupan_tpu.native);
+        otherwise the vectorized numpy path.  Returns a scan dict compatible
+        with ``NeuPan.scan_to_point`` — ranges are measured in the robot
+        frame (sensor at robot origin).
         """
+        from neupan_tpu import native
+
         spec = self.lidar
         x, y, th = self.state[0, 0], self.state[1, 0], self.state[2, 0]
+
+        if native.available():
+            segs = self._all_segments()
+            ranges, hit_seg = native.raycast(
+                (x, y), th, spec.angle_min, spec.angle_max, spec.number,
+                spec.range_min, spec.range_max, segs)
+            seg_vel = self._segment_velocities()
+            velocity = np.zeros((2, spec.number))
+            if seg_vel.shape[0] > 0:
+                hit = hit_seg >= 0
+                velocity[:, hit] = seg_vel[hit_seg[hit]].T
+            return {
+                "ranges": ranges,
+                "angle_min": spec.angle_min,
+                "angle_max": spec.angle_max,
+                "range_min": spec.range_min,
+                "range_max": spec.range_max,
+                "velocity": velocity,
+            }
         angles = np.linspace(spec.angle_min, spec.angle_max, spec.number) + th
         dirs = np.stack([np.cos(angles), np.sin(angles)], axis=1)  # (B, 2)
 

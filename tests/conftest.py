@@ -19,6 +19,17 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax
 
+# Env vars alone are not enough: pytest plugins (jaxtyping/typeguard) import
+# jax before this conftest runs, latching the ambient JAX_PLATFORMS=axon
+# (tunneled TPU).  Force the CPU backend through the config API, which works
+# post-import.
+jax.config.update("jax_platforms", "cpu")
+
+# This host has AMX/AVX512-BF16; XLA CPU can silently lower f32 matmuls to
+# bf16 fast paths, which breaks numeric tests nondeterministically.  Force
+# exact f32 matmuls for the whole suite.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 # Persistent compilation cache: jit compiles dominate test wall-clock here.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -1,0 +1,97 @@
+"""LON tests: gradient flow through the QP into the adjust parameters."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neupan_tpu.lon import LONTuner, distance_loss, step_loss_and_grad
+from neupan_tpu.models import obs_point_net
+from neupan_tpu.ops.nrmp import AdjustParams, NRMPSpec
+from neupan_tpu.ops.pan import PANSpec, init_state
+from neupan_tpu.ops.qp import ADMMConfig
+from neupan_tpu.robot import Robot
+
+
+def setup(T=3, K=2, P=6):
+    robot = Robot.create(receding=T, step_time=0.1, kinematics="diff",
+                         max_speed=[4, 2], max_acce=[4, 2], length=1.6,
+                         width=1.0)
+    nrmp = NRMPSpec(T=T, K=K, kinematics="diff",
+                    speed_bound=tuple(robot.speed_bound[:, 0]),
+                    acce_bound=tuple(robot.acce_bound[:, 0]), ro_obs=100.0)
+    spec = PANSpec(robot=robot, nrmp=nrmp, iter_num=1, dune_max_num=P,
+                   admm=ADMMConfig(iters=60))
+    params = obs_point_net.init_params(jax.random.PRNGKey(0), 2,
+                                       robot.edge_dim)
+    G = jnp.asarray(robot.G, jnp.float32)
+    h = jnp.asarray(robot.h, jnp.float32)
+    adj = AdjustParams(q_s=jnp.asarray(1.0), p_u=jnp.asarray(1.0),
+                       eta=jnp.asarray(8.0), d_max=jnp.asarray(1.0),
+                       d_min=jnp.asarray(0.1))
+
+    rng = np.random.default_rng(0)
+    T_, P_ = T, P
+    f32 = jnp.float32
+    nom_u = jnp.zeros((2, T_), f32)
+    nom_s = robot.rollout(jnp.zeros(3, f32), nom_u)
+    ref_s = jnp.asarray(np.linspace([0, 0, 0], [1, 0, 0], T_ + 1).T, f32)
+    ref_us = jnp.ones((T_,), f32)
+    pts = jnp.asarray(rng.uniform(0.9, 2.0, (2, P_)), f32)
+    vels = jnp.zeros((2, P_), f32)
+    mask = jnp.ones((P_,), bool)
+    return (spec, params, G, h, adj,
+            (nom_s, nom_u, ref_s, ref_us, pts, vels, mask))
+
+
+def test_distance_loss_branches():
+    d = jnp.asarray([0.5, 0.5, 0.5])
+    assert float(distance_loss(d, jnp.asarray(0.1), 0.3)) == 10 * (50 - 1.5)
+    assert float(distance_loss(d, jnp.asarray(1.0), 0.3, stuck=True)) == \
+        10 * (50 + 1.5)
+    assert float(distance_loss(d, jnp.asarray(1.0), 0.3)) == 0.0
+
+
+def test_gradients_nonzero_and_finite():
+    spec, params, G, h, adj, inputs = setup()
+    loss, grads, out = step_loss_and_grad(
+        spec, params, G, h, adj, *inputs, init_state(spec),
+        collision_threshold=10.0)  # force the near-collision branch
+    assert np.isfinite(float(loss))
+    g = np.array([float(jnp.sum(jnp.abs(x))) for x in grads])
+    assert np.all(np.isfinite(g))
+    # eta and d_max influence d directly -> nonzero gradients
+    assert float(jnp.sum(jnp.abs(grads.eta))) > 0 or \
+        float(jnp.sum(jnp.abs(grads.d_max))) > 0
+
+
+def test_eta_gradient_sign_matches_finite_difference():
+    spec, params, G, h, adj, inputs = setup()
+
+    def loss_at(eta):
+        a = adj._replace(eta=jnp.asarray(eta, jnp.float32))
+        loss, _, _ = step_loss_and_grad(
+            spec, params, G, h, a, *inputs, init_state(spec),
+            collision_threshold=10.0)
+        return float(loss)
+
+    _, grads, _ = step_loss_and_grad(
+        spec, params, G, h, adj, *inputs, init_state(spec),
+        collision_threshold=10.0)
+    eps = 0.05
+    fd = (loss_at(8.0 + eps) - loss_at(8.0 - eps)) / (2 * eps)
+    g = float(grads.eta)
+    if abs(fd) > 1e-6:
+        assert np.sign(fd) == np.sign(g)
+        np.testing.assert_allclose(g, fd, rtol=0.3, atol=0.05)
+
+
+def test_tuner_updates_only_selected_fields():
+    spec, params, G, h, adj, inputs = setup()
+    tuner = LONTuner(adj, lr=1e-2, train_fields=("p_u", "eta", "d_max"))
+    _, grads, _ = step_loss_and_grad(
+        spec, params, G, h, adj, *inputs, init_state(spec),
+        collision_threshold=10.0)
+    new = tuner.update(adj, grads)
+    assert float(new.q_s) == float(adj.q_s)       # frozen
+    assert float(new.d_min) == float(adj.d_min)   # frozen
+    assert float(new.d_max) >= 1e-3

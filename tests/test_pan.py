@@ -1,5 +1,7 @@
 """PAN loop tests: alternation, freeze-on-converge, no-obs mode, state carry."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -90,17 +92,34 @@ def test_pan_no_points_matches_no_obs_objective():
 
 
 def test_pan_state_carry_and_warm_start():
-    spec = make_spec()
+    # disable early stop so both calls run identical full iterations; the
+    # carried QP warm start must not change the (polished) solution
+    spec = dataclasses.replace(make_spec(), iter_threshold=0.0)
     G, h = geometry(spec)
     params = params_for(spec)
     inputs = make_inputs(spec)
     st0 = init_state(spec)
     out1 = pan_forward(spec, params, G, h, ADJ, *inputs, st0)
     assert bool(out1.state.prev_valid)
-    # warm-started second call from the same inputs converges immediately
     out2 = pan_forward(spec, params, G, h, ADJ, *inputs, out1.state)
     np.testing.assert_allclose(np.asarray(out2.opt_u), np.asarray(out1.opt_u),
-                               atol=1e-2)
+                               atol=1e-3)
+
+
+def test_pan_early_stop_freezes_second_iteration():
+    """With the reference's cross-call memory, a repeated identical call
+    converges at iteration 0 (diff < threshold) and skips refinement —
+    its output equals a fresh 1-iteration run (pan.py:215-243 semantics)."""
+    spec = make_spec(iter_num=2)
+    spec1 = make_spec(iter_num=1)
+    G, h = geometry(spec)
+    params = params_for(spec)
+    inputs = make_inputs(spec)
+    out1 = pan_forward(spec, params, G, h, ADJ, *inputs, init_state(spec))
+    out2 = pan_forward(spec, params, G, h, ADJ, *inputs, out1.state)
+    ref = pan_forward(spec1, params, G, h, ADJ, *inputs, out1.state)
+    np.testing.assert_allclose(np.asarray(out2.opt_u), np.asarray(ref.opt_u),
+                               atol=1e-5)
 
 
 def test_pan_iter_num_one_vs_two_differ_initially():
