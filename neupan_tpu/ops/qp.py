@@ -67,7 +67,7 @@ class ADMMConfig:
     alpha: float = 1.6
     polish: bool = True
     polish_delta: float = 1e-7
-    refine_steps: int = 2
+    refine_steps: int = 3
     eps_act: float = 1e-5  # dual magnitude that marks a constraint active
 
 
@@ -207,11 +207,17 @@ def _polish_candidate(qp: QPData, cfg: ADMMConfig, low_act, up_act):
     """Solve the masked active-set KKT system for one active-set guess.
 
     Uses all m rows with a mask so shapes stay static: inactive rows decouple
-    into y_i = 0 equations.  Returns (x_pol, y_pol, finite_ok).
+    into y_i = 0 equations.  TPU-friendly formulation: since P is diagonal,
+    the KKT system reduces to a dual Schur complement
+        (DA diag(1/(P+s)) DA' + (1-d) I) y = DA (g1/(P+s)) - g2
+    which is SPD — one Jacobi-scaled Cholesky of an (m, m) matrix plus
+    matvecs, instead of a batched LU inverse of the (n+m) KKT matrix (the
+    LU path measured ~5x the cost of the whole ADMM run on TPU).  Iterative
+    refinement against the exact (unregularized) KKT operator removes the
+    s-perturbation.  Returns (x_pol, y_pol, finite_ok).
     """
     P, q, A = qp.P_diag, qp.q, qp.A
     l, u = _clip_bounds(qp.l, qp.u)
-    n, m = P.shape[0], A.shape[0]
     is_eq = (u - l) < 1e-9
 
     active = low_act | up_act | is_eq
@@ -220,29 +226,37 @@ def _polish_candidate(qp: QPData, cfg: ADMMConfig, low_act, up_act):
     b_act = jnp.where(active, b_act, 0.0)
 
     DA = A * d[:, None]
-    delta = cfg.polish_delta
-    # K = [[diag(P)+dI, (DA)'], [DA, -dI - (1-d)I]]
-    K = jnp.zeros((n + m, n + m), dtype=P.dtype)
-    K = K.at[:n, :n].set(jnp.diag(P + delta))
-    K = K.at[:n, n:].set(DA.T)
-    K = K.at[n:, :n].set(DA)
-    K = K.at[n:, n:].set(jnp.diag(-delta - (1.0 - d)))
-    g = jnp.concatenate([-q, b_act])
+    # Larger regularization is *better* here: it keeps cond(S) low enough
+    # for an accurate f32 Cholesky, and iterative refinement removes the
+    # perturbation at ~100x error contraction per step (measured; smaller
+    # s_reg stalls IR at the f32 factorization noise floor).
+    s_reg = 1e-2
+    Pr = P + s_reg
+    inv_Pr = 1.0 / Pr
 
-    Kinv = jnp.linalg.inv(K)
-    t = Kinv @ g
+    S = (DA * inv_Pr[None, :]) @ DA.T + jnp.diag(1.0 - d)
+    js = jax.lax.rsqrt(jnp.abs(jnp.diag(S)) + 1e-8)
+    S_t = S * js[:, None] * js[None, :] + 1e-6 * jnp.eye(S.shape[0], dtype=P.dtype)
+    cho = jax.scipy.linalg.cho_factor(S_t)
 
-    # Iterative refinement against the unregularized KKT operator K0.
-    def k0_mul(t_vec):
-        tx, ty = t_vec[:n], t_vec[n:]
-        top = P * tx + DA.T @ ty
-        bot = DA @ tx - (1.0 - d) * ty
-        return jnp.concatenate([top, bot])
+    def kkt_solve(g1, g2):
+        rhs = DA @ (g1 * inv_Pr) - g2
+        y = js * jax.scipy.linalg.cho_solve(cho, js * rhs)
+        x = (g1 - DA.T @ y) * inv_Pr
+        return x, y
 
+    x, y = kkt_solve(-q, b_act)
+
+    # refinement against the exact KKT operator (true P, no s_reg)
     for _ in range(cfg.refine_steps):
-        t = t + Kinv @ (g - k0_mul(t))
+        r1 = -q - (P * x + DA.T @ y)
+        r2 = b_act - (DA @ x - (1.0 - d) * y)
+        dx, dy = kkt_solve(r1, r2)
+        x = x + dx
+        y = y + dy
 
-    return t[:n], t[n:], jnp.all(jnp.isfinite(t))
+    ok = jnp.all(jnp.isfinite(x)) & jnp.all(jnp.isfinite(y))
+    return x, y, ok
 
 
 def _polish(qp: QPData, cfg: ADMMConfig, x: jnp.ndarray, y: jnp.ndarray):
