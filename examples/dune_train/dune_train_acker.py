@@ -1,5 +1,5 @@
-"""Train a DUNE model for the default diff robot (reference parity:
-example/dune_train/dune_train_diff.py)."""
+"""Train a DUNE model for the default Ackermann robot geometry (reference
+parity: example/dune_train/dune_train_acker.py)."""
 import os
 import sys
 
@@ -10,5 +10,5 @@ from neupan_tpu.planner import NeuPan
 
 if __name__ == "__main__":
     planner = NeuPan.init_from_yaml(
-        os.path.join(os.path.dirname(__file__), "dune_train_diff.yaml"))
+        os.path.join(os.path.dirname(__file__), "dune_train_acker.yaml"))
     planner.train_dune()

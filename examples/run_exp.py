@@ -22,10 +22,30 @@ from neupan_tpu.sim.env_loader import load_env  # noqa: E402
 
 
 def main(env_file, planner_file, point_vel=False, max_steps=1000,
-         reverse=False, quiet=False):
+         reverse=False, quiet=False, save_animation=False, full=False,
+         no_display=True, ani_name="animation"):
     planner = NeuPan.init_from_yaml(planner_file)
     env = load_env(env_file, planner.robot)
 
+    renderer = None
+    if save_animation or not no_display:
+        from neupan_tpu.sim.render import Renderer
+        renderer = Renderer(env, display=not no_display,
+                            figsize=(12, 9) if full else (8, 6))
+
+    result = _run_loop(planner, env, point_vel, max_steps, reverse, quiet,
+                       renderer)
+    if renderer is not None:
+        if save_animation:
+            out = renderer.save_animation(
+                os.path.join("animation", f"{ani_name}.gif"))
+            if out and not quiet:
+                print(f"animation saved to {out}")
+        renderer.close()
+    return result
+
+
+def _run_loop(planner, env, point_vel, max_steps, reverse, quiet, renderer):
     for i in range(max_steps):
         robot_state = env.get_robot_state()
         lidar_scan = env.get_lidar_scan()
@@ -38,6 +58,9 @@ def main(env_file, planner_file, point_vel=False, max_steps=1000,
             point_velocities = None
 
         action, info = planner(robot_state, points, point_velocities)
+
+        if renderer is not None:
+            renderer.draw_frame(planner, planner.initial_path)
 
         if info["stop"] and not quiet:
             print("NeuPAN stops because of minimum distance")
@@ -72,6 +95,13 @@ if __name__ == "__main__":
     parser.add_argument("-v", "--point_vel", action="store_true")
     parser.add_argument("-m", "--max_steps", type=int, default=1000)
     parser.add_argument("-q", "--quiet", action="store_true")
+    parser.add_argument("-a", "--save_animation", action="store_true",
+                        help="save the run as animation/<scenario>.gif")
+    parser.add_argument("-f", "--full", action="store_true",
+                        help="larger figure (fullscreen equivalent)")
+    parser.add_argument("-n", "--no_display", action="store_true",
+                        help="headless rendering (Agg); default behavior "
+                             "unless -a is given without -n")
     args = parser.parse_args()
 
     base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -79,5 +109,8 @@ if __name__ == "__main__":
     reverse = args.example == "reverse" and args.kinematics == "diff"
     result = main(os.path.join(base, "env.yaml"),
                   os.path.join(base, "planner.yaml"),
-                  args.point_vel, args.max_steps, reverse, args.quiet)
+                  args.point_vel, args.max_steps, reverse, args.quiet,
+                  save_animation=args.save_animation, full=args.full,
+                  no_display=args.no_display or args.save_animation,
+                  ani_name=f"{args.example}_{args.kinematics}")
     print(result)

@@ -39,6 +39,15 @@ def distance_loss(opt_d: jnp.ndarray, min_distance: jnp.ndarray,
     return 10.0 * base
 
 
+def tracking_losses(out, ref_s: jnp.ndarray, ref_us: jnp.ndarray):
+    """State/speed MSE losses of the LON_corridor_02 variant (reference:
+    example/LON/LON_corridor_02.py cal_loss): MSE(opt_s, ref_s) and
+    MSE(opt_u[0, :], ref_us)."""
+    state_loss = jnp.mean((out.opt_s - ref_s) ** 2)
+    speed_loss = jnp.mean((out.opt_u[0, :] - ref_us) ** 2)
+    return state_loss, speed_loss
+
+
 def step_loss_and_grad(spec: PANSpec, dune_params, G, h,
                        adjust: AdjustParams,
                        nom_s, nom_u, ref_s, ref_us,

@@ -31,9 +31,14 @@ class Obstacle:
     vertices: np.ndarray              # (2, V) world-frame polygon (closed implicitly)
     velocity: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros((2, 1)))
+    behavior: Optional["Behavior"] = None   # dynamic-motion policy (or None)
 
     def step(self, dt: float):
         self.vertices = self.vertices + self.velocity * dt
+
+    @property
+    def center(self) -> np.ndarray:
+        return self.vertices.mean(axis=1, keepdims=True)   # (2, 1)
 
     @property
     def segments(self):
@@ -64,6 +69,72 @@ def polygon_obstacle(vertices, velocity=(0.0, 0.0)) -> Obstacle:
     if v.shape[0] != 2:
         v = v.T
     return Obstacle(v, np.asarray(velocity, dtype=np.float64).reshape(2, 1))
+
+
+def random_polygon_vertices(rng: np.random.Generator, avg_radius_range=(0.5, 1.5),
+                            irregularity: float = 0.9, n: int = 8) -> np.ndarray:
+    """Random star-shaped polygon around the origin, (2, n) local vertices.
+
+    Equivalent role to IR-SIM's ``random_shape: true`` polygons used by the
+    reference's dyna/non_obs scenario envs (e.g. reference:
+    example/dyna_non_obs/acker/env.yaml obstacle shape entries): angles are
+    jittered uniformly by ``irregularity`` and radii drawn per-vertex from
+    ``avg_radius_range``.
+    """
+    base = np.linspace(0, 2 * pi, n, endpoint=False)
+    jitter = (rng.uniform(-0.5, 0.5, n)) * (2 * pi / n) * irregularity
+    ang = np.sort(base + jitter)
+    radii = rng.uniform(avg_radius_range[0], avg_radius_range[1], n)
+    return np.vstack([radii * np.cos(ang), radii * np.sin(ang)])
+
+
+class Behavior:
+    """Dynamic-motion policy for obstacles (the reference scenarios delegate
+    this to IR-SIM's ``behavior: {name: rvo|dash, wander: True, ...}``,
+    reference: example/dyna_obs/acker/env.yaml).  This is a deterministic
+    stand-in: obstacles wander between random goals inside a range box at a
+    bounded speed, with a light reciprocal-repulsion term between obstacles
+    for the 'rvo' flavor.
+    """
+
+    def __init__(self, name: str = "wander", range_low=(0.0, 0.0),
+                 range_high=(10.0, 10.0), max_speed: float = 1.0,
+                 factor: float = 1.0, goal_threshold: float = 0.3,
+                 rng: Optional[np.random.Generator] = None):
+        self.name = name
+        self.low = np.asarray(range_low, dtype=np.float64)[:2]
+        self.high = np.asarray(range_high, dtype=np.float64)[:2]
+        self.max_speed = float(max_speed)
+        self.factor = float(factor)
+        self.goal_threshold = float(goal_threshold)
+        self.rng = rng or np.random.default_rng(7)
+        self.goal = self._sample_goal()
+
+    def _sample_goal(self) -> np.ndarray:
+        return self.rng.uniform(self.low, self.high).reshape(2, 1)
+
+    def update(self, obs: Obstacle, others: Sequence[Obstacle], dt: float):
+        c = obs.center
+        to_goal = self.goal - c
+        dist = float(np.linalg.norm(to_goal))
+        if dist < self.goal_threshold:
+            self.goal = self._sample_goal()
+            to_goal = self.goal - c
+            dist = float(np.linalg.norm(to_goal))
+        vel = to_goal / max(dist, 1e-9) * self.max_speed
+        if self.name == "rvo":
+            # reciprocal-lite: push away from nearby obstacle centers
+            for other in others:
+                if other is obs:
+                    continue
+                diff = c - other.center
+                d = float(np.linalg.norm(diff))
+                if 1e-9 < d < 3.0:
+                    vel = vel + self.factor * diff / d * (3.0 - d) / 3.0
+            speed = float(np.linalg.norm(vel))
+            if speed > self.max_speed:
+                vel = vel / speed * self.max_speed
+        obs.velocity = vel
 
 
 @dataclasses.dataclass
@@ -109,6 +180,8 @@ class Sim2D:
             ds = np.array([[a[0, 0]], [a[1, 0]], [0.0]])
         self.state = self.state + ds * self.dt
         for obs in self.obstacles:
+            if obs.behavior is not None:
+                obs.behavior.update(obs, self.obstacles, self.dt)
             obs.step(self.dt)
         self.steps += 1
         if self._check_collision():

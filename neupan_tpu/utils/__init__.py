@@ -13,6 +13,7 @@ import functools
 import os
 import sys
 import time
+from contextlib import contextmanager
 from math import atan2, cos, pi, sin, sqrt
 from typing import Callable, Optional, Tuple
 
@@ -194,3 +195,19 @@ def downsample_decimation(mat: np.ndarray, m: int) -> np.ndarray:
         return mat
     indices = np.linspace(0, n - 1, m).astype(int)
     return mat[:, indices]
+
+
+@contextmanager
+def profile_trace(log_dir: str = "/tmp/neupan_trace"):
+    """Capture a jax.profiler trace of the enclosed block (view in
+    TensorBoard / Perfetto).  The TPU-native analogue of the reference's
+    time_print wall-clock printing (reference: util/__init__.py:29-55) for
+    per-kernel analysis.
+    """
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
