@@ -67,13 +67,15 @@ def _run_loop(planner, env, point_vel, max_steps, reverse, quiet, renderer):
         if info["arrive"]:
             if not quiet:
                 print(f"NeuPAN arrives at the target in {i} steps")
-            return dict(arrived=True, collided=env.collided, steps=i)
+            return dict(arrived=True, collided=env.collided, steps=i,
+                        contacts=env.collision_count)
 
         env.step(action)
         if env.collided:
             if not quiet:
                 print("collision detected")
-            return dict(arrived=False, collided=True, steps=i)
+            return dict(arrived=False, collided=True, steps=i,
+                        contacts=env.collision_count)
 
         if i == 0 and reverse:
             for j in range(len(planner.initial_path)):
@@ -85,7 +87,8 @@ def _run_loop(planner, env, point_vel, max_steps, reverse, quiet, renderer):
             print(f"step {i}: pos=({s[0,0]:.2f},{s[1,0]:.2f}) "
                   f"min_dist={planner.min_distance:.3f}")
 
-    return dict(arrived=False, collided=env.collided, steps=max_steps)
+    return dict(arrived=False, collided=env.collided, steps=max_steps,
+                contacts=env.collision_count)
 
 
 if __name__ == "__main__":

@@ -113,7 +113,8 @@ class Behavior:
     def _sample_goal(self) -> np.ndarray:
         return self.rng.uniform(self.low, self.high).reshape(2, 1)
 
-    def update(self, obs: Obstacle, others: Sequence[Obstacle], dt: float):
+    def update(self, obs: Obstacle, others: Sequence[Obstacle], dt: float,
+               robot_pos: Optional[np.ndarray] = None):
         c = obs.center
         to_goal = self.goal - c
         dist = float(np.linalg.norm(to_goal))
@@ -123,11 +124,13 @@ class Behavior:
             dist = float(np.linalg.norm(to_goal))
         vel = to_goal / max(dist, 1e-9) * self.max_speed
         if self.name == "rvo":
-            # reciprocal-lite: push away from nearby obstacle centers
-            for other in others:
-                if other is obs:
-                    continue
-                diff = c - other.center
+            # reciprocal-lite: push away from nearby obstacle centers and
+            # from the robot (IR-SIM RVO agents avoid the robot too)
+            repel = [o.center for o in others if o is not obs]
+            if robot_pos is not None:
+                repel.append(np.asarray(robot_pos, dtype=np.float64).reshape(2, 1))
+            for other_c in repel:
+                diff = c - other_c
                 d = float(np.linalg.norm(diff))
                 if 1e-9 < d < 3.0:
                     vel = vel + self.factor * diff / d * (3.0 - d) / 3.0
@@ -153,7 +156,8 @@ class Sim2D:
                  obstacles: Optional[List[Obstacle]] = None,
                  lidar: Optional[LidarSpec] = None,
                  goal_threshold: float = 0.3,
-                 step_time: Optional[float] = None):
+                 step_time: Optional[float] = None,
+                 collision_mode: str = "stop"):
         self.robot = robot
         self.state = np.asarray(start_state, dtype=np.float64).reshape(-1, 1)[:3]
         self.goal = np.asarray(goal, dtype=np.float64).reshape(-1, 1)[:3]
@@ -161,7 +165,13 @@ class Sim2D:
         self.lidar = lidar or LidarSpec()
         self.goal_threshold = goal_threshold
         self.dt = step_time if step_time is not None else robot.dt
+        # 'stop' latches self.collided; 'unobstructed' /
+        # 'unobstructed_obstacles' only count contacts (the reference's
+        # dynamic scenarios run IR-SIM in these modes, e.g. reference:
+        # example/dyna_obs/acker/env.yaml world.collision_mode)
+        self.collision_mode = collision_mode
         self.collided = False
+        self.collision_count = 0
         self.steps = 0
 
     # -- dynamics ----------------------------------------------------------
@@ -181,11 +191,14 @@ class Sim2D:
         self.state = self.state + ds * self.dt
         for obs in self.obstacles:
             if obs.behavior is not None:
-                obs.behavior.update(obs, self.obstacles, self.dt)
+                obs.behavior.update(obs, self.obstacles, self.dt,
+                                    robot_pos=self.state[:2])
             obs.step(self.dt)
         self.steps += 1
         if self._check_collision():
-            self.collided = True
+            self.collision_count += 1
+            if self.collision_mode == "stop":
+                self.collided = True
 
     def get_robot_state(self) -> np.ndarray:
         return self.state.copy()

@@ -129,4 +129,5 @@ def load_env(yaml_file: str, robot: Robot, seed: int = 7) -> Sim2D:
             obstacles.append(obs)
 
     return Sim2D(robot, start, goal, obstacles, lidar,
-                 goal_threshold=goal_threshold, step_time=step_time)
+                 goal_threshold=goal_threshold, step_time=step_time,
+                 collision_mode=world.get("collision_mode", "stop"))

@@ -53,3 +53,27 @@ def test_non_obs_diff():
 def test_dyna_obs_diff_with_point_velocities():
     result = run_scenario("dyna_obs", "diff", max_steps=500, point_vel=True)
     assert result["arrived"] and not result["collided"], result
+
+
+@pytest.mark.slow
+def test_corridor_acker_arrives():
+    result = run_scenario("corridor", "acker", max_steps=400)
+    assert result["arrived"] and not result["collided"], result
+
+
+@pytest.mark.slow
+def test_corridor_omni_arrives():
+    result = run_scenario("corridor", "omni", max_steps=400)
+    assert result["arrived"] and not result["collided"], result
+
+
+@pytest.mark.slow
+def test_reverse_acker_parks_backwards():
+    result = run_scenario("reverse", "acker", max_steps=300)
+    assert result["arrived"] and not result["collided"], result
+
+
+@pytest.mark.slow
+def test_pf_obs_diff_multi_waypoint():
+    result = run_scenario("pf_obs", "diff", max_steps=400)
+    assert result["arrived"] and not result["collided"], result
