@@ -31,7 +31,27 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: jit compiles dominate test wall-clock here.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+# Key the cache dir by the host CPU: XLA:CPU AOT results encode machine
+# features (AMX/AVX512 etc.) and XLA will load a cache entry compiled on a
+# different machine anyway, changing numerics between pytest (cache hit)
+# and standalone (fresh compile) runs.
+import hashlib
+import platform
+
+
+def _machine_key():
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return platform.machine()
+
+
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/jax_test_cache_{_machine_key()}")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
