@@ -23,11 +23,29 @@ import jax as _jax
 
 # Persistent compilation cache (opt-out via NEUPAN_TPU_NO_CACHE=1): the
 # planner step is one large jitted graph; caching makes warm process starts
-# near-instant on both CPU and TPU.
+# near-instant on both CPU and TPU.  The directory is keyed by the host
+# CPU's feature flags: XLA:CPU AOT cache entries record the *compiling*
+# machine's features and XLA will load an entry compiled on a different
+# machine (e.g. through a remote-compile tunnel), silently changing
+# numerics between cached and fresh runs.
+def _machine_cache_key() -> str:
+    try:
+        with open("/proc/cpuinfo") as _f:
+            for _line in _f:
+                if _line.startswith("flags"):
+                    import hashlib as _hashlib
+                    return _hashlib.sha1(_line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform as _platform
+    return _platform.machine()
+
+
 if not _os.environ.get("NEUPAN_TPU_NO_CACHE"):
     _cache_dir = _os.environ.get(
         "NEUPAN_TPU_CACHE_DIR",
-        _os.path.join(_os.path.expanduser("~"), ".cache", "neupan_tpu_jax"),
+        _os.path.join(_os.path.expanduser("~"), ".cache",
+                      f"neupan_tpu_jax_{_machine_cache_key()}"),
     )
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
