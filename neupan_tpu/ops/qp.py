@@ -77,6 +77,16 @@ class ADMMConfig:
     # ms.  Convergence: with the safe init X0 = I/upper_bound(lambda_max)
     # the SPD iteration always contracts; iters ~ log2(cond) + 6, and the
     # Jacobi pre-scaling keeps cond modest.  40 covers cond <= ~1e9.
+    #
+    # Do NOT lower this for speed (measured 2026-08, scripts/exp_golden_ns.py
+    # + exp_ns_precision.py): on the flagship bench batch the NS residual
+    # floors by 16 iterations, but on stiff corridor-wall instances the NRMP
+    # optimum is *degenerate* — per-instance actions move >1e-3 (up to
+    # ~1.6e-2) under ANY solver perturbation, including RAISING ns to 64.
+    # The recorded goldens therefore pin this value; changing it breaks
+    # tests/test_golden.py without making the solutions less KKT-optimal.
+    # (Mixed-precision NS — bf16 front + f32 tail — DIVERGES outright: the
+    # bf16 noise floor eps*cond exceeds the contraction basin at cond~1e4.)
     ns_iters: int = 40
     # polish equality-penalty weight (primal active-set solve): larger ->
     # more accurate single solve but worse conditioning; the iterative
