@@ -7,21 +7,25 @@ fully-vectorized assembly of an OSQP-standard-form QP consumed by
 
 Mathematical parity with the reference problem:
 
-  variables   s in R^{3x(T+1)}, u in R^{2xT}, d in R^T  (+ slack z in R^{TxK})
+  variables   s in R^{3x(T+1)}, u in R^{2xT}, d in R^T
   objective   ||q_s s - q_s ref_s||^2  (omni: x,y rows only)
             + ||p_u u[0,:] - p_u ref_us||^2
             + 0.5 bk ||s - nom_s||^2
             - eta sum(d)
-            + 0.5 ro_obs sum(z^2)          <- exact hinge reformulation of
-                                              0.5 ro_obs ||neg(fa p - fb - d)||^2
+            + 0.5 ro_obs ||neg(fa p - fb - d)||^2   <- hinge penalty
   subject to  s_{t+1} = A_t s_t + B_t u_t + C_t
               s_0 = nom_s_0
               |u_{t+1} - u_t| <= acce_bound,  |u| <= speed_bound
               max(d_min, 0) <= d <= d_max
-              fa_t p_{t+1} - fb_t - d_t + z_t >= 0,  z >= 0
 
-The hinge reformulation is exact: minimizing 0.5 ro_obs z^2 over
-z >= max(0, fb + d - fa p) yields z* = neg(fa p - fb - d).
+The hinge penalty is expressed directly as *soft* rows of the QP
+(``QPData.soft``, weight ro_obs, lower target fb): the solver's z-prox
+handles the one-sided quadratic exactly, so no slack variables are needed.
+This keeps the problem at n = 5T+3+2T variables and m = 8T+1+TK rows
+(vs +TK variables and +2TK rows for the slack reformulation) — the dense
+factorizations in the solver are the dominant per-step cost and scale
+cubically in n, so this is the difference between a 163x163 and a 63x63
+inverse at T=10, K=10.
 """
 
 from __future__ import annotations
@@ -75,7 +79,7 @@ class NRMPSpec:
     def n(self) -> int:
         if self.no_obs:
             return self.n_s + self.n_u
-        return self.n_s + self.n_u + self.T + self.T * self.K
+        return self.n_s + self.n_u + self.T
 
     @property
     def off_u(self) -> int:
@@ -86,15 +90,11 @@ class NRMPSpec:
         return self.n_s + self.n_u
 
     @property
-    def off_z(self) -> int:
-        return self.off_d + self.T
-
-    @property
     def m(self) -> int:
         base = 3 * self.T + 3 + 2 * (self.T - 1) + 2 * self.T
         if self.no_obs:
             return base
-        return base + self.T + 2 * self.T * self.K
+        return base + self.T + self.T * self.K
 
     # row offsets
     @property
@@ -116,10 +116,6 @@ class NRMPSpec:
     @property
     def r_obs(self) -> int:
         return self.r_d + self.T
-
-    @property
-    def r_z(self) -> int:
-        return self.r_obs + self.T * self.K
 
 
 def _static_template(spec: NRMPSpec) -> np.ndarray:
@@ -148,15 +144,10 @@ def _static_template(spec: NRMPSpec) -> np.ndarray:
         # d box rows
         for t in range(T):
             A0[spec.r_d + t, spec.off_d + t] = 1.0
-        # obstacle rows: -1 on d_t, +1 on z_{t,i}
+        # obstacle (soft penalty) rows: -1 on d_t; fa scattered at build time
         for t in range(T):
             for i in range(K):
-                row = spec.r_obs + t * K + i
-                A0[row, spec.off_d + t] = -1.0
-                A0[row, spec.off_z + t * K + i] = 1.0
-        # z >= 0 rows
-        for t in range(T * K):
-            A0[spec.r_z + t, spec.off_z + t] = 1.0
+                A0[spec.r_obs + t * K + i, spec.off_d + t] = -1.0
     return A0
 
 
@@ -225,10 +216,8 @@ def build_qp(
     else:
         P_d = jnp.zeros((T,), dtype)
         q_lin_d = jnp.full((T,), -1.0, dtype) * adjust.eta.astype(dtype)
-        P_z = jnp.full((T * K,), spec.ro_obs, dtype)
-        q_lin_z = jnp.zeros((T * K,), dtype)
-        P_diag = jnp.concatenate([P_s, P_u, P_d, P_z])
-        q_lin = jnp.concatenate([q_lin_s, q_lin_u, q_lin_d, q_lin_z])
+        P_diag = jnp.concatenate([P_s, P_u, P_d])
+        q_lin = jnp.concatenate([q_lin_s, q_lin_u, q_lin_d])
 
     # ---- constraint matrix ----------------------------------------------
     A = jnp.asarray(_static_template(spec), dtype=dtype)
@@ -247,20 +236,24 @@ def build_qp(
 
     l_parts = [neg_C, s0, -acce, -speed]
     u_parts = [neg_C, s0, acce, speed]
+    soft = None
     if not spec.no_obs:
         d_lo = jnp.full((T,), 1.0, dtype) * jnp.maximum(adjust.d_min, 0.0)
         d_hi = jnp.full((T,), 1.0, dtype) * adjust.d_max
+        # obstacle rows are soft: 0.5*ro_obs*neg(fa p - d - fb)^2
         obs_lo = fb.reshape(-1).astype(dtype)
         obs_hi = jnp.full((T * K,), _INF, dtype)
-        z_lo = jnp.zeros((T * K,), dtype)
-        z_hi = jnp.full((T * K,), _INF, dtype)
-        l_parts += [d_lo, obs_lo, z_lo]
-        u_parts += [d_hi, obs_hi, z_hi]
+        l_parts += [d_lo, obs_lo]
+        u_parts += [d_hi, obs_hi]
+        soft = jnp.concatenate([
+            jnp.zeros((spec.r_obs,), dtype),
+            jnp.full((T * K,), spec.ro_obs, dtype),
+        ])
 
     l = jnp.concatenate(l_parts)
     u = jnp.concatenate(u_parts)
 
-    return QPData(P_diag=P_diag, q=q_lin, A=A, l=l, u=u)
+    return QPData(P_diag=P_diag, q=q_lin, A=A, l=l, u=u, soft=soft)
 
 
 def unpack_solution(spec: NRMPSpec, x: jnp.ndarray):

@@ -16,6 +16,10 @@ reference).  TPU-first design decisions:
   host round-trips and no data-dependent control flow.
 * A polish step (masked active-set KKT solve + iterative refinement, the
   OSQP polishing strategy) recovers near-interior-point accuracy.
+* One-sided quadratic *penalty* rows (``QPData.soft``) are handled directly
+  by the z-update prox instead of via slack variables — the NRMP hinge
+  penalty needs no extra T*K variables/rows, keeping the dense factorized
+  matrices (the dominant cost) small.
 * ``solve_qp`` is wrapped in ``jax.custom_vjp``: gradients w.r.t. P, q, A,
   l, u are obtained by implicit differentiation of the active-set KKT
   system (OptNet-style), preserving the reference's differentiable-layer
@@ -34,13 +38,23 @@ _BIG = 1e20  # stand-in for +inf bounds inside kernels
 
 
 class QPData(NamedTuple):
-    """One QP in OSQP standard form (possibly with leading batch dims)."""
+    """One QP in OSQP standard form (possibly with leading batch dims).
+
+    ``soft`` (optional) marks one-sided *penalty* rows: row i with
+    soft_i > 0 contributes 0.5 * soft_i * min(A_i x - l_i, 0)^2 to the
+    objective instead of enforcing l_i <= A_i x (u_i must be +inf for such
+    rows).  This expresses hinge penalties without slack variables — the
+    NRMP obstacle term drops T*K slacks and T*K extra rows this way,
+    shrinking the dense factorizations the solver rides on.  soft_i == 0
+    (or soft=None) means an ordinary hard row.
+    """
 
     P_diag: jnp.ndarray  # (n,)
     q: jnp.ndarray       # (n,)
     A: jnp.ndarray       # (m, n)
     l: jnp.ndarray       # (m,)
     u: jnp.ndarray       # (m,)
+    soft: Optional[jnp.ndarray] = None  # (m,) one-sided penalty weights
 
 
 class QPSolution(NamedTuple):
@@ -162,7 +176,10 @@ def _ruiz_equilibrate(qp: QPData, iters: int = 10):
 
     (P, q, A, D, E, c), _ = jax.lax.scan(
         body, (P, q, A, D, E, c), None, length=iters)
-    return QPData(P, q, A, E * l, E * u), D, E, c
+    # a penalty 0.5*soft*neg(z - l)^2 written in scaled row coordinates
+    # z_bar = E z picks up c (objective scaling) / E^2 (row scaling):
+    soft = None if qp.soft is None else c * qp.soft / (E * E)
+    return QPData(P, q, A, E * l, E * u, soft), D, E, c
 
 
 def _admm_core(qp: QPData, cfg: ADMMConfig, x0: jnp.ndarray, y0: jnp.ndarray):
@@ -177,10 +194,21 @@ def _admm_core(qp: QPData, cfg: ADMMConfig, x0: jnp.ndarray, y0: jnp.ndarray):
     l, u = _clip_bounds(qp_s.l, qp_s.u)
     n = P.shape[0]
     is_eq = (u - l) < 1e-9
+    soft = qp_s.soft
+    is_soft = None if soft is None else soft > 0.0
 
     # warm start in scaled coordinates: x_bar = D^{-1} x, y_bar = c E^{-1} y
     x0 = x0 / D
     y0 = c * y0 / E
+
+    def z_prox(v, rho):
+        """prox of the row-separable g(z): box indicator for hard rows,
+        one-sided quadratic 0.5*soft*neg(z - l)^2 for soft rows."""
+        z_hard = jnp.clip(v, l, u)
+        if soft is None:
+            return z_hard
+        z_sf = jnp.where(v >= l, v, l + (v - l) * rho / (rho + soft))
+        return jnp.where(is_soft, jnp.minimum(z_sf, u), z_hard)
 
     def phase(x, z, y, rho, iters):
         # Normal-matrix inverse is materialized so the scan body is pure
@@ -195,7 +223,7 @@ def _admm_core(qp: QPData, cfg: ADMMConfig, x0: jnp.ndarray, y0: jnp.ndarray):
             z_t = A @ x_t
             x_new = cfg.alpha * x_t + (1.0 - cfg.alpha) * x
             z_mix = cfg.alpha * z_t + (1.0 - cfg.alpha) * z
-            z_new = jnp.clip(z_mix + y / rho, l, u)
+            z_new = z_prox(z_mix + y / rho, rho)
             y_new = y + rho * (z_mix - z_new)
             return (x_new, z_new, y_new), None
 
@@ -232,25 +260,46 @@ def _admm_core(qp: QPData, cfg: ADMMConfig, x0: jnp.ndarray, y0: jnp.ndarray):
     x = D * x
     y = E * y / c
     l0, u0 = _clip_bounds(qp.l, qp.u)
-    z = jnp.clip(qp.A @ x, l0, u0)
-    r_prim = jnp.max(jnp.abs(qp.A @ x - z))
+    Ax = qp.A @ x
+    z = jnp.clip(Ax, l0, u0)
+    viol = jnp.abs(Ax - z)
+    if qp.soft is not None:
+        # soft rows cannot be violated; their optimality is dual consistency
+        # y = soft * neg(Ax - l), which feeds r_dual via stationarity.
+        z = jnp.where(qp.soft > 0.0, Ax, z)
+        viol = jnp.where(qp.soft > 0.0, 0.0, viol)
+    r_prim = jnp.max(viol)
     r_dual = jnp.max(jnp.abs(qp.P_diag * x + qp.q + qp.A.T @ y))
     return x, y, z, r_prim, r_dual
 
 
-def kkt_error(P, q, A, l, u, x, y):
-    """Full KKT error: stationarity, primal feasibility, complementarity."""
+def kkt_error(P, q, A, l, u, x, y, soft=None):
+    """Full KKT error: stationarity, primal feasibility, complementarity.
+
+    Soft (penalty) rows replace feasibility/complementarity with dual
+    consistency: y_i must equal the penalty gradient soft_i*neg(A_i x - l_i).
+    """
     Ax = A @ x
     stat = jnp.max(jnp.abs(P * x + q + A.T @ y))
-    viol = jnp.maximum(jnp.maximum(jnp.max(Ax - u), jnp.max(l - Ax)), 0.0)
+    viol_r = jnp.maximum(jnp.maximum(Ax - u, l - Ax), 0.0)
     y_pos = jnp.maximum(y, 0.0)
     y_neg = jnp.maximum(-y, 0.0)
-    comp_u = jnp.max(jnp.minimum(y_pos, jnp.abs(u - Ax)))
-    comp_l = jnp.max(jnp.minimum(y_neg, jnp.abs(Ax - l)))
+    comp_u_r = jnp.minimum(y_pos, jnp.abs(u - Ax))
+    comp_l_r = jnp.minimum(y_neg, jnp.abs(Ax - l))
+    if soft is not None:
+        is_soft = soft > 0.0
+        dual_err = jnp.abs(y - soft * jnp.minimum(Ax - l, 0.0))
+        viol_r = jnp.where(is_soft, dual_err, viol_r)
+        comp_u_r = jnp.where(is_soft, 0.0, comp_u_r)
+        comp_l_r = jnp.where(is_soft, 0.0, comp_l_r)
+    viol = jnp.max(viol_r)
+    comp_u = jnp.max(comp_u_r)
+    comp_l = jnp.max(comp_l_r)
     return jnp.maximum(jnp.maximum(stat, viol), jnp.maximum(comp_u, comp_l))
 
 
-def _polish_candidate(qp: QPData, cfg: ADMMConfig, low_act, up_act):
+def _polish_candidate(qp: QPData, cfg: ADMMConfig, low_act, up_act,
+                      soft_act=None):
     """Solve the masked active-set KKT system for one active-set guess.
 
     Uses all m rows with a mask so shapes stay static: inactive rows decouple
@@ -263,14 +312,23 @@ def _polish_candidate(qp: QPData, cfg: ADMMConfig, low_act, up_act):
     measured several times the cost of the whole ADMM run on TPU.  Iterative
     refinement against the exact (unregularized) KKT operator removes both
     the s-regularization and the O(1/beta) penalty error geometrically
-    (augmented-Lagrangian contraction).  Returns (x_pol, y_pol, finite_ok).
+    (augmented-Lagrangian contraction).
+
+    Soft (penalty) rows guessed active (``soft_act``) enter the objective
+    exactly — 0.5*soft*(A_i x - l_i)^2 is quadratic once the active side is
+    fixed — so they add soft_i a_i a_i' to H and soft_i l_i a_i to the
+    gradient target, with NO penalty-approximation error to refine away.
+    Returns (x_pol, y_pol, finite_ok).
     """
     P, q, A = qp.P_diag, qp.q, qp.A
     l, u = _clip_bounds(qp.l, qp.u)
     is_eq = (u - l) < 1e-9
+    is_soft = None if qp.soft is None else qp.soft > 0.0
 
     row_norm_sq = jnp.sum(A * A, axis=1)
     active = (low_act | up_act | is_eq) & (row_norm_sq > 1e-16)
+    if is_soft is not None:
+        active = active & ~is_soft
     d = active.astype(P.dtype)
     b_act = jnp.where(is_eq, l, jnp.where(up_act, u, l))
     b_act = jnp.where(active, b_act, 0.0)
@@ -293,24 +351,46 @@ def _polish_candidate(qp: QPData, cfg: ADMMConfig, low_act, up_act):
     beta = cfg.polish_beta * (jnp.max(Pr) + 1.0)
 
     H = jnp.diag(Pr) + beta * (DAn.T @ DAn)
+    if soft_act is None:
+        soft_grad = None
+    else:
+        # exact quadratic contribution of active soft rows
+        ssd = jnp.sqrt(qp.soft * soft_act.astype(P.dtype))
+        SA = A * ssd[:, None]
+        g3 = ssd * l
+        H = H + SA.T @ SA
+        SAtg3 = SA.T @ g3
+
+        def soft_grad(x):
+            return SA.T @ (SA @ x) - SAtg3
+
     Hinv = _ns_spd_inverse(H, cfg.ns_iters)
 
     def kkt_solve(g1, g2):
-        """Approximately solve P x + DA' y = g1 ; DA x - (1-d) y = g2."""
+        """Approximately solve Pop x + DA' y = g1 ; DA x - (1-d) y = g2,
+        where Pop = diag(P) + active-soft Gauss-Newton term (inside H)."""
         g2n = g2 * rs
         x = Hinv @ (g1 + beta * (DAn.T @ g2n))
         y = d * (beta * (DAn @ x - g2n)) * rs - (1.0 - d) * g2
         return x, y
 
-    x, y = kkt_solve(-q, b_act)
+    g1_0 = -q if soft_grad is None else -q + SAtg3
+    x, y = kkt_solve(g1_0, b_act)
 
-    # refinement against the exact KKT operator (true P, no s_reg/penalty)
+    # refinement against the exact KKT operator (true P, no s_reg/penalty;
+    # the soft term is exact in H, so only hard-penalty error contracts)
     for _ in range(cfg.refine_steps):
         r1 = -q - (P * x + DA.T @ y)
+        if soft_grad is not None:
+            r1 = r1 - soft_grad(x)
         r2 = b_act - (DA @ x - (1.0 - d) * y)
         dx, dy = kkt_solve(r1, r2)
         x = x + dx
         y = y + dy
+
+    if is_soft is not None:
+        # duals of soft rows are the (true, piecewise) penalty gradient
+        y = jnp.where(is_soft, qp.soft * jnp.minimum(A @ x - l, 0.0), y)
 
     ok = jnp.all(jnp.isfinite(x)) & jnp.all(jnp.isfinite(y))
     return x, y, ok
@@ -329,20 +409,32 @@ def _polish(qp: QPData, cfg: ADMMConfig, x: jnp.ndarray, y: jnp.ndarray):
     l, u = _clip_bounds(qp.l, qp.u)
 
     Ax = A @ x
-    rp = jnp.max(jnp.abs(Ax - jnp.clip(Ax, l, u)))
+    viol = jnp.abs(Ax - jnp.clip(Ax, l, u))
+    if qp.soft is not None:
+        viol = jnp.where(qp.soft > 0.0, 0.0, viol)
+    rp = jnp.max(viol)
     tol = jnp.clip(10.0 * rp, 1e-5, 1e-2)
 
     low1, up1 = y < -cfg.eps_act, y > cfg.eps_act
     low2 = low1 | (Ax - l < tol)
     up2 = up1 | (u - Ax < tol)
 
-    x1, y1, ok1 = _polish_candidate(qp, cfg, low1, up1)
-    x2, y2, ok2 = _polish_candidate(qp, cfg, low2, up2)
+    if qp.soft is None:
+        sact1 = sact2 = None
+    else:
+        is_soft = qp.soft > 0.0
+        sact1 = is_soft & (y < -cfg.eps_act)
+        sact2 = is_soft & (Ax - l < tol)
+        low1, low2 = low1 & ~is_soft, low2 & ~is_soft
+        up1, up2 = up1 & ~is_soft, up2 & ~is_soft
+
+    x1, y1, ok1 = _polish_candidate(qp, cfg, low1, up1, sact1)
+    x2, y2, ok2 = _polish_candidate(qp, cfg, low2, up2, sact2)
 
     big = jnp.asarray(jnp.inf, P.dtype)
-    e0 = kkt_error(P, q, A, l, u, x, y)
-    e1 = jnp.where(ok1, kkt_error(P, q, A, l, u, x1, y1), big)
-    e2 = jnp.where(ok2, kkt_error(P, q, A, l, u, x2, y2), big)
+    e0 = kkt_error(P, q, A, l, u, x, y, qp.soft)
+    e1 = jnp.where(ok1, kkt_error(P, q, A, l, u, x1, y1, qp.soft), big)
+    e2 = jnp.where(ok2, kkt_error(P, q, A, l, u, x2, y2, qp.soft), big)
 
     # A polished candidate replaces the ADMM iterate only when it is
     # *clearly* better (margin), never on a near-tie.  On degenerate
@@ -369,8 +461,13 @@ def _solve_single(qp: QPData, cfg: ADMMConfig,
         if cfg.polish:
             x, y, _, _, _ = _polish(qp, cfg, x, y)
             l, u = _clip_bounds(qp.l, qp.u)
-            z = jnp.clip(qp.A @ x, l, u)
-            rp = jnp.max(jnp.abs(qp.A @ x - z))
+            Ax = qp.A @ x
+            z = jnp.clip(Ax, l, u)
+            viol = jnp.abs(Ax - z)
+            if qp.soft is not None:
+                z = jnp.where(qp.soft > 0.0, Ax, z)
+                viol = jnp.where(qp.soft > 0.0, 0.0, viol)
+            rp = jnp.max(viol)
             rd = jnp.max(jnp.abs(qp.P_diag * x + qp.q + qp.A.T @ y))
     return QPSolution(x=x, y=y, z=z, r_prim=rp, r_dual=rd)
 
@@ -432,11 +529,21 @@ def _solve_bwd_impl(cfg, qp, x, y, g):
     DA = A * d[:, None]
 
     delta = cfg.polish_delta
+    # Diagonal of the dual block.  Hard rows: -delta if active (equality
+    # A_i x = b_i), -delta-1 if inactive (y_i = 0).  Soft penalty rows with
+    # y_i = soft*(A_i x - l_i) < 0 satisfy the *relaxed* active equation
+    # A_i x - y_i/soft_i = l_i, i.e. a -1/soft_i diagonal entry.
+    diag2 = -delta - (1.0 - d)
+    if qp.soft is not None:
+        s_act = (qp.soft > 0.0) & low_act
+        diag2 = jnp.where(
+            s_act, -delta - 1.0 / jnp.maximum(qp.soft, 1e-12), diag2)
+
     K = jnp.zeros((n + m, n + m), dtype=P.dtype)
     K = K.at[:n, :n].set(jnp.diag(P + delta))
     K = K.at[:n, n:].set(DA.T)
     K = K.at[n:, :n].set(DA)
-    K = K.at[n:, n:].set(jnp.diag(-delta - (1.0 - d)))
+    K = K.at[n:, n:].set(jnp.diag(diag2))
 
     gx = g.x  # only propagate cotangents of the primal solution
     rhs = jnp.concatenate([gx, jnp.zeros((m,), dtype=P.dtype)])
@@ -451,7 +558,13 @@ def _solve_bwd_impl(cfg, qp, x, y, g):
     dl = jnp.where(active & ~up_act, db, 0.0)
     du = jnp.where(up_act, db, 0.0)
 
-    dqp = QPData(P_diag=dP, q=dq, A=dA, l=dl, u=du)
+    if qp.soft is None:
+        dsoft = None
+    else:
+        dsoft = jnp.where(
+            s_act, -dnu * y / jnp.maximum(qp.soft, 1e-12) ** 2, 0.0)
+
+    dqp = QPData(P_diag=dP, q=dq, A=dA, l=dl, u=du, soft=dsoft)
     return (dqp, jnp.zeros_like(x), jnp.zeros_like(y))
 
 
@@ -464,6 +577,8 @@ def solve_qp_batch(qp: QPData, cfg: ADMMConfig,
     """Solve a batch of QPs: every QPData field has a leading batch axis."""
     B = qp.P_diag.shape[0]
     n, m = qp.P_diag.shape[1], qp.A.shape[1]
+    if qp.soft is not None and qp.soft.ndim == 1:
+        qp = qp._replace(soft=jnp.broadcast_to(qp.soft, (B, m)))
     if x0 is None:
         x0 = jnp.zeros((B, n), dtype=qp.P_diag.dtype)
     if y0 is None:

@@ -141,6 +141,101 @@ def test_implicit_gradient_matches_finite_difference():
     np.testing.assert_allclose(float(g), float(fd), rtol=5e-2, atol=1e-4)
 
 
+def test_soft_row_analytic():
+    # min 0.5 x^2 - 3x + 0.5*w*neg(x - 5)^2  ->  x = (3 + 5w)/(1 + w)
+    for w in (0.5, 2.0, 50.0):
+        qp = QPData(
+            P_diag=jnp.array([1.0]), q=jnp.array([-3.0]),
+            A=jnp.array([[1.0]]), l=jnp.array([5.0]), u=jnp.array([1e20]),
+            soft=jnp.array([w]),
+        )
+        sol = solve_qp(qp, CFG)
+        want = (3 + 5 * w) / (1 + w)
+        np.testing.assert_allclose(float(sol.x[0]), want, atol=1e-4)
+        # dual = penalty gradient w*(x - 5) < 0
+        np.testing.assert_allclose(float(sol.y[0]), w * (want - 5), atol=1e-3)
+
+
+def test_soft_row_inactive():
+    # min 0.5 (x - 3)^2 with soft row x >= 1: inactive -> x = 3, y = 0
+    qp = QPData(
+        P_diag=jnp.array([1.0]), q=jnp.array([-3.0]),
+        A=jnp.array([[1.0]]), l=jnp.array([1.0]), u=jnp.array([1e20]),
+        soft=jnp.array([10.0]),
+    )
+    sol = solve_qp(qp, CFG)
+    np.testing.assert_allclose(float(sol.x[0]), 3.0, atol=1e-4)
+    np.testing.assert_allclose(float(sol.y[0]), 0.0, atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_soft_rows_match_slack_reformulation(seed):
+    """Soft penalty rows must equal the explicit-slack reformulation."""
+    rng = np.random.default_rng(seed)
+    n, m_h, m_s = 10, 8, 6
+    P = rng.uniform(0.5, 2.0, n)
+    q = rng.normal(size=n)
+    Ah = rng.normal(size=(m_h, n))
+    mid = Ah @ rng.normal(size=n) * 0.1
+    lh, uh = mid - 1.0, mid + 1.0
+    lh[:2] = uh[:2] = mid[:2]
+    As = rng.normal(size=(m_s, n))
+    ls = As @ rng.normal(size=n) * 0.1 + rng.uniform(-0.5, 0.5, m_s)
+    w = rng.uniform(5.0, 50.0, m_s)
+
+    A = np.vstack([Ah, As])
+    l = np.concatenate([lh, ls])
+    u = np.concatenate([uh, np.full(m_s, 1e20)])
+    soft = np.concatenate([np.zeros(m_h), w])
+    qp1 = QPData(*[jnp.asarray(v, jnp.float32) for v in (P, q, A, l, u)],
+                 soft=jnp.asarray(soft, jnp.float32))
+    s1 = solve_qp(qp1, CFG)
+
+    # slack form: vars [x, z]; obj += 0.5 w z^2; As x + z >= ls, z >= 0
+    n2 = n + m_s
+    P2 = np.concatenate([P, w])
+    q2 = np.concatenate([q, np.zeros(m_s)])
+    A2 = np.zeros((m_h + 2 * m_s, n2))
+    A2[:m_h, :n] = Ah
+    A2[m_h:m_h + m_s, :n] = As
+    A2[m_h:m_h + m_s, n:] = np.eye(m_s)
+    A2[m_h + m_s:, n:] = np.eye(m_s)
+    l2 = np.concatenate([lh, ls, np.zeros(m_s)])
+    u2 = np.concatenate([uh, np.full(2 * m_s, 1e20)])
+    qp2 = QPData(*[jnp.asarray(v, jnp.float32) for v in (P2, q2, A2, l2, u2)])
+    s2 = solve_qp(qp2, CFG)
+
+    np.testing.assert_allclose(
+        np.asarray(s1.x), np.asarray(s2.x)[:n], rtol=1e-3, atol=2e-4)
+
+
+def test_soft_row_gradient_matches_finite_difference():
+    # grads w.r.t. the soft target l (the NRMP fb path used by LON losses):
+    # min 0.5||x||^2 + 0.5*20*neg(sum x - 6 theta)^2 has the closed form
+    # x_i = 6*20*theta/(1 + 4*20), so d(sum x^2)/d theta is analytic.
+    n = 4
+    P = jnp.ones(n)
+    q = jnp.zeros(n)
+    A = jnp.asarray(np.vstack([np.eye(n), np.ones((1, n))]), jnp.float32)
+    u = jnp.asarray(np.concatenate([10 * np.ones(n), [1e20]]), jnp.float32)
+    soft = jnp.asarray(np.concatenate([np.zeros(n), [20.0]]), jnp.float32)
+    w = 20.0
+
+    def loss(theta):
+        l = jnp.concatenate([-10 * jnp.ones(n), 6.0 * theta[None]])
+        sol = solve_qp(QPData(P, q, A, u=u, l=l, soft=soft), CFG)
+        return jnp.sum(sol.x ** 2)
+
+    theta0 = 1.2
+    g = jax.grad(loss)(jnp.asarray(theta0))
+    c = 6 * w * theta0 / (1 + n * w)
+    analytic = 2 * n * c * (6 * w / (1 + n * w))
+    eps = 1e-3
+    fd = (loss(jnp.asarray(theta0 + eps)) - loss(jnp.asarray(theta0 - eps))) / (2 * eps)
+    np.testing.assert_allclose(float(g), analytic, rtol=1e-3)
+    np.testing.assert_allclose(float(g), float(fd), rtol=5e-2)
+
+
 def test_warm_start_accepted():
     qp = QPData(
         P_diag=jnp.array([1.0, 1.0]), q=jnp.array([-1.0, -1.0]),
