@@ -16,7 +16,7 @@ Shapes (single scenario; vmap over a scenario axis for batches):
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,21 +35,113 @@ class DuneOutput(NamedTuple):
     min_distance: jnp.ndarray  # scalar: min distance at frame 0
 
 
+def signed_polygon_distance(vertices: jnp.ndarray, G: jnp.ndarray,
+                            h: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """Exact signed Euclidean distance from points to a convex polygon.
+
+    The DUNE encoder is *trained* to reproduce exactly this quantity (the
+    optimum of the dual distance problem max mu'(Gp - h) s.t. ||G'mu|| <= 1,
+    reference dune_train.py:85-99), so the closed form is the ground truth
+    the learned d approximates.  Outside points: min distance over the edge
+    segments; inside points: the (negative) largest normalized face margin.
+
+    Args:
+        vertices: (2, V) polygon vertices, CCW.
+        G, h: half-space description G x <= h, rows matching the edges.
+        points: (..., 2, P).
+    Returns:
+        (..., P) signed distances (negative inside).
+    """
+    v0 = vertices                                    # (2, V)
+    v1 = jnp.roll(vertices, -1, axis=1)              # (2, V)
+    e = v1 - v0                                      # (2, V)
+    ee = jnp.maximum(jnp.sum(e * e, axis=0), 1e-12)  # (V,)
+
+    pv = points[..., :, None, :] - v0[:, :, None]    # (..., 2, V, P)
+    t = jnp.clip(jnp.sum(pv * e[:, :, None], axis=-3) / ee[:, None], 0.0, 1.0)
+    # distance point -> segment
+    diff = pv - e[:, :, None] * t[..., None, :, :]   # (..., 2, V, P)
+    d_out = jnp.sqrt(jnp.min(jnp.sum(diff * diff, axis=-3), axis=-2) + 1e-30)
+
+    g_norm = jnp.sqrt(jnp.sum(G * G, axis=1))        # (E,)
+    marg = (jnp.einsum("eb,...bp->...ep", G, points)
+            - h.reshape(-1)[:, None]) / g_norm[:, None]
+    d_in = jnp.max(marg, axis=-2)                    # (..., P), <= 0 inside
+    return jnp.where(d_in <= 0.0, d_in, d_out)
+
+
 def dune_forward(params, G: jnp.ndarray, h: jnp.ndarray,
                  point_flow: jnp.ndarray, R_all: jnp.ndarray,
                  points_glob: jnp.ndarray, mask: jnp.ndarray,
-                 k: int) -> DuneOutput:
+                 k: int, use_pallas: bool = False, select: str = "mlp",
+                 vertices: Optional[jnp.ndarray] = None) -> DuneOutput:
     """Map the point flow to latent distance-space duals, keeping top-k.
 
     mu = MLP(p0);  lam = -R G' mu;  d = mu'(G p0 - h)   (dune.py:78-127)
     The per-frame ascending-distance sort + truncation to ``k`` happens via
     lax.top_k on masked distances.
+
+    ``select`` picks the ranking used for the top-k:
+      * "mlp" (reference parity): rank by the learned d — the MLP runs on
+        every point, O(N) MLP work.
+      * "exact": rank by the closed-form signed polygon distance (requires
+        ``vertices``), then run the MLP only on the k winners per frame —
+        O(N*E) VPU work + O(k) MLP work.  A trained encoder matches the
+        exact distance to ~1e-4, so the selections differ only on genuine
+        near-ties; the returned mu/lam/dist are still the learned ones on
+        the selected points (NRMP parity preserved).
+
+    ``use_pallas`` routes the MLP through the fused Pallas kernel
+    (ops/pallas/mlp.py); measured slower than XLA on TPU for this MLP, kept
+    for experimentation.
     """
     Tp1, _, P = point_flow.shape
     E = G.shape[0]
 
+    def run_mlp(pts_batch):
+        if use_pallas:
+            from neupan_tpu.ops.pallas.mlp import dune_mlp_pallas
+
+            flat = pts_batch.reshape(-1, 2)
+            return dune_mlp_pallas(params, flat).reshape(
+                *pts_batch.shape[:-1], E)
+        return obs_point_net.forward(params, pts_batch)
+
+    take = jax.vmap(lambda arr, i: arr[:, i])      # gather columns per frame
+
+    if select == "exact":
+        if vertices is None:
+            raise ValueError('select="exact" requires polygon vertices')
+        d_sel = signed_polygon_distance(vertices, G, h, point_flow)
+        masked_sel = jnp.where(mask[None, :], d_sel, _INF)
+        _, idx = jax.lax.top_k(-masked_sel, k)     # (T+1, K)
+        valid_k = take(masked_sel[:, None, :], idx)[:, 0, :] < _INF * 0.5
+
+        pf_k = take(point_flow, idx)               # (T+1, 2, K)
+        mu_tk = run_mlp(jnp.swapaxes(pf_k, 1, 2))  # (T+1, K, E)
+
+        RG = jnp.einsum("tab,eb->tae", R_all, G)   # (T+1, 2, E)
+        lam_k = -jnp.einsum("tae,tke->tak", RG, mu_tk)
+        Gp_k = jnp.einsum("eb,tbk->tek", G, pf_k) - h.reshape(1, E, 1)
+        dist_k = jnp.einsum("tke,tek->tk", mu_tk, Gp_k)
+        dist_k = jnp.where(valid_k, dist_k, _INF)
+
+        # keep the ascending-by-learned-distance slot order (reference
+        # dune.py:100-104); k is tiny so the per-frame sort is negligible
+        order = jnp.argsort(dist_k, axis=1)
+        dist_k = jnp.take_along_axis(dist_k, order, axis=1)
+        valid_k = jnp.take_along_axis(valid_k, order, axis=1)
+        mu_k = jnp.take_along_axis(
+            jnp.swapaxes(mu_tk, 1, 2), order[:, None, :], axis=2)
+        lam_k = jnp.take_along_axis(lam_k, order[:, None, :], axis=2)
+        idx_s = jnp.take_along_axis(idx, order, axis=1)
+        points_k = take(points_glob, idx_s)        # (T+1, 2, K)
+
+        min_distance = jnp.min(dist_k[0])
+        return DuneOutput(mu_k, lam_k, points_k, dist_k, valid_k, min_distance)
+
     pts = jnp.swapaxes(point_flow, 1, 2)          # (T+1, P, 2)
-    mu = obs_point_net.forward(params, pts)        # (T+1, P, E)
+    mu = run_mlp(pts)                              # (T+1, P, E)
 
     # lam = -R @ G^T @ mu   per frame/point
     RG = jnp.einsum("tab,eb->tae", R_all, G)       # (T+1, 2, E)
@@ -67,7 +159,6 @@ def dune_forward(params, G: jnp.ndarray, h: jnp.ndarray,
     dist_k = -neg_top
     valid_k = dist_k < _INF * 0.5
 
-    take = jax.vmap(lambda arr, i: arr[:, i])      # gather columns per frame
     mu_k = take(jnp.swapaxes(mu, 1, 2), idx)       # (T+1, E, K)
     lam_k = take(lam, idx)                         # (T+1, 2, K)
     points_k = take(points_glob, idx)              # (T+1, 2, K)

@@ -49,6 +49,26 @@ class PANSpec:
     # which breaks the <=1e-3 control-accuracy contract; "highest" forces
     # full f32.  Set to "default" to trade accuracy for speed.
     precision: str = "highest"
+    # Route the DUNE MLP through the fused Pallas kernel.  Default off:
+    # measured on TPU (2026-08, B=256, 5.8M points) the plain XLA path runs
+    # 20 ms vs 40 ms for the kernel — the MLP's tiny feature dims (2/32/E)
+    # pad to full 128 MXU lanes, so XLA's fused f32-highest pipeline is
+    # already at the padded-MXU roofline and the kernel's grid overhead
+    # only adds.  The real DUNE lever is dune_select="exact" (below).
+    dune_pallas: bool = False
+    # Top-k obstacle selection strategy:
+    #   "exact": rank points by the closed-form signed polygon distance
+    #     (~20 VPU flops/point), then run the MLP only on the K selected
+    #     points per frame.  O(N*E + K*MLP) instead of O(N*MLP).
+    #   "mlp": reference-parity ranking by the learned distance
+    #     d = mu'(G p - h) (reference dune.py:100-104) — pays the MLP on
+    #     every point.  A trained encoder reproduces the exact distance to
+    #     ~1e-4 (reference results.txt), so the two selections differ only
+    #     on genuine near-ties.
+    dune_select: str = "exact"
+
+    def use_dune_pallas(self) -> bool:
+        return self.dune_pallas
 
 
 class PANState(NamedTuple):
@@ -160,10 +180,15 @@ def _pan_forward_impl(
     nrmp_val = jnp.zeros((K,), dtype=bool)
     cur = state
 
+    use_pallas = spec.use_dune_pallas()
+    vertices = (jnp.asarray(robot.vertices, dtype)
+                if spec.dune_select == "exact" else None)
     for _ in range(spec.iter_num):
         # --- DUNE ---------------------------------------------------------
         pf, R_all, pts_glob = generate_point_flow(nom_s, points, velocities, robot.dt)
-        dune = dune_forward(dune_params, G, h, pf, R_all, pts_glob, mask, K)
+        dune = dune_forward(dune_params, G, h, pf, R_all, pts_glob, mask, K,
+                            use_pallas=use_pallas, select=spec.dune_select,
+                            vertices=vertices)
 
         # --- NRMP ---------------------------------------------------------
         fa, fb = coefficients_from_dune(spec.nrmp, dune.mu_k, dune.lam_k,

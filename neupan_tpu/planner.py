@@ -98,6 +98,7 @@ class NeuPan:
             iter_threshold=float(iter_threshold),
             dune_max_num=int(dune_max_num),
             admm=ADMMConfig(**admm_kwargs),
+            dune_select=str(pan_kwargs.get("dune_select", "exact")),
         )
         self.no_obs = nrmp_spec.no_obs or dune_max_num == 0
 

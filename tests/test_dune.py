@@ -112,3 +112,115 @@ def test_dune_forward_fewer_points_than_k():
     out = dune_forward(params, G, h, pf, R, glob, mask, k=3)
     v = np.asarray(out.valid_k)
     assert v[:, 0].all() and not v[:, 1:].any()
+
+
+def square_vertices():
+    return jnp.asarray([[-0.5, 0.5, 0.5, -0.5], [-0.5, -0.5, 0.5, 0.5]])
+
+
+def test_signed_polygon_distance_analytic():
+    from neupan_tpu.ops.dune import signed_polygon_distance
+
+    G, h = setup_geometry()
+    V = square_vertices()
+    pts = jnp.asarray([
+        [2.0, 0.0],    # right of square: d = 1.5
+        [0.0, 0.0],    # center: d = -0.5
+        [1.5, 1.5],    # corner diagonal: d = sqrt(2)
+        [0.4, 0.0],    # inside near right face: d = -0.1
+        [-3.0, 0.0],   # left: d = 2.5
+    ]).T
+    d = np.asarray(signed_polygon_distance(V, G, h, pts))
+    np.testing.assert_allclose(
+        d, [1.5, -0.5, np.sqrt(2.0), -0.1, 2.5], rtol=1e-5, atol=1e-6)
+
+
+def test_signed_polygon_distance_vs_brute_force():
+    from neupan_tpu.ops.dune import signed_polygon_distance
+    from neupan_tpu.robot import Robot
+
+    robot = Robot.create(receding=2, step_time=0.1, kinematics="diff",
+                         max_speed=[8, 1], max_acce=[8, 3],
+                         length=1.6, width=2.0)
+    V = jnp.asarray(robot.vertices, jnp.float32)
+    G = jnp.asarray(robot.G, jnp.float32)
+    h = jnp.asarray(robot.h, jnp.float32)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-6, 6, (2, 500)).astype(np.float32)
+    d = np.asarray(signed_polygon_distance(V, G, h, jnp.asarray(pts)))
+
+    verts = np.asarray(robot.vertices)
+    segs = []
+    for i in range(verts.shape[1]):
+        a, b = verts[:, i], verts[:, (i + 1) % verts.shape[1]]
+        ts = np.linspace(0, 1, 2001)[None, :]
+        segs.append(a[:, None] + (b - a)[:, None] * ts)
+    bound = np.concatenate(segs, axis=1)
+    d_bound = np.sqrt(((pts[:, :, None] - bound[:, None, :]) ** 2).sum(0)).min(1)
+    inside = np.all(np.asarray(robot.G) @ pts <= np.asarray(robot.h), axis=0)
+    d_ref = np.where(inside, -d_bound, d_bound)
+    np.testing.assert_allclose(d, d_ref, atol=2e-5)
+
+
+def test_dune_exact_select_matches_mlp_on_separated_points():
+    """With well-separated distances the exact and mlp selections agree and
+    all DuneOutput fields coincide (same points, same learned duals)."""
+    from neupan_tpu.models.obs_point_net import load_checkpoint
+    import os
+
+    ckpt = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples/model/diff_robot_default/model.npz")
+    if not os.path.exists(ckpt):
+        import pytest
+        pytest.skip("example checkpoint missing")
+    from neupan_tpu.robot import Robot
+
+    robot = Robot.create(receding=4, step_time=0.1, kinematics="diff",
+                         max_speed=[8, 1], max_acce=[8, 3],
+                         length=1.6, width=2.0)
+    params = load_checkpoint(ckpt)
+    G = jnp.asarray(robot.G, jnp.float32)
+    h = jnp.asarray(robot.h, jnp.float32)
+    V = jnp.asarray(robot.vertices, jnp.float32)
+
+    # radially spread points: consecutive distance gaps ~0.35 >> MLP error
+    radii = np.linspace(2.0, 9.0, 21)
+    ang = np.linspace(0, 2 * np.pi, 21, endpoint=False)
+    pts = jnp.asarray(np.stack([radii * np.cos(ang), radii * np.sin(ang)]),
+                      jnp.float32)
+    mask = jnp.ones(21, bool)
+    nom_s = jnp.zeros((3, 5))
+    pf, R, glob = generate_point_flow(nom_s, pts, jnp.zeros_like(pts), 0.1)
+
+    out_m = dune_forward(params, G, h, pf, R, glob, mask, k=5, select="mlp")
+    out_e = dune_forward(params, G, h, pf, R, glob, mask, k=5,
+                         select="exact", vertices=V)
+    np.testing.assert_allclose(np.asarray(out_m.points_k),
+                               np.asarray(out_e.points_k), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_m.mu_k),
+                               np.asarray(out_e.mu_k), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_m.dist_k),
+                               np.asarray(out_e.dist_k), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(out_m.min_distance),
+                               float(out_e.min_distance), rtol=1e-5)
+    assert np.asarray(out_e.valid_k).all()
+
+
+def test_dune_exact_select_fewer_points_than_k():
+    from neupan_tpu.robot import Robot
+
+    robot = Robot.create(receding=1, step_time=0.1, kinematics="diff",
+                         max_speed=[8, 1], max_acce=[8, 3],
+                         length=1.0, width=1.0)
+    params = obs_point_net.init_params(jax.random.PRNGKey(2), 2, 4)
+    G = jnp.asarray(robot.G, jnp.float32)
+    h = jnp.asarray(robot.h, jnp.float32)
+    V = jnp.asarray(robot.vertices, jnp.float32)
+    pts = jnp.asarray([[2.0, 9.0, 9.0], [0.0, 9.0, 9.0]], dtype=jnp.float32)
+    mask = jnp.asarray([True, False, False])
+    pf, R, glob = generate_point_flow(jnp.zeros((3, 2)), pts,
+                                      jnp.zeros_like(pts), 0.1)
+    out = dune_forward(params, G, h, pf, R, glob, mask, k=3,
+                       select="exact", vertices=V)
+    v = np.asarray(out.valid_k)
+    assert v[:, 0].all() and not v[:, 1:].any()
