@@ -112,10 +112,21 @@ def dune_forward(params, G: jnp.ndarray, h: jnp.ndarray,
     if select == "exact":
         if vertices is None:
             raise ValueError('select="exact" requires polygon vertices')
-        d_sel = signed_polygon_distance(vertices, G, h, point_flow)
-        masked_sel = jnp.where(mask[None, :], d_sel, _INF)
-        _, idx = jax.lax.top_k(-masked_sel, k)     # (T+1, K)
-        valid_k = take(masked_sel[:, None, :], idx)[:, 0, :] < _INF * 0.5
+        if use_pallas:
+            # fused distance-rank + top-k kernel: 3x faster than the XLA
+            # path at planner batch sizes AND exactly faithful to the f64
+            # distance ordering (the XLA path's f32 sqrt introduces ties);
+            # see ops/pallas/select.py.
+            from neupan_tpu.ops.pallas.select import select_topk_pallas
+
+            keys_k, idx = select_topk_pallas(point_flow, mask, vertices,
+                                             G, h, k)
+            valid_k = keys_k < _INF * 0.5
+        else:
+            d_sel = signed_polygon_distance(vertices, G, h, point_flow)
+            masked_sel = jnp.where(mask[None, :], d_sel, _INF)
+            _, idx = jax.lax.top_k(-masked_sel, k)  # (T+1, K)
+            valid_k = take(masked_sel[:, None, :], idx)[:, 0, :] < _INF * 0.5
 
         pf_k = take(point_flow, idx)               # (T+1, 2, K)
         mu_tk = run_mlp(jnp.swapaxes(pf_k, 1, 2))  # (T+1, K, E)

@@ -49,13 +49,15 @@ class PANSpec:
     # which breaks the <=1e-3 control-accuracy contract; "highest" forces
     # full f32.  Set to "default" to trade accuracy for speed.
     precision: str = "highest"
-    # Route the DUNE MLP through the fused Pallas kernel.  Default off:
-    # measured on TPU (2026-08, B=256, 5.8M points) the plain XLA path runs
-    # 20 ms vs 40 ms for the kernel — the MLP's tiny feature dims (2/32/E)
-    # pad to full 128 MXU lanes, so XLA's fused f32-highest pipeline is
-    # already at the padded-MXU roofline and the kernel's grid overhead
-    # only adds.  The real DUNE lever is dune_select="exact" (below).
-    dune_pallas: bool = False
+    # Route DUNE through Pallas kernels where they win.  None = auto: on
+    # TPU with dune_select="exact" this enables the fused distance-rank +
+    # top-k kernel (ops/pallas/select.py, measured 3x faster than the XLA
+    # selection and exactly faithful to the f64 distance ordering).  With
+    # dune_select="mlp" the flag instead routes the MLP through
+    # ops/pallas/mlp.py — measured SLOWER than XLA there (the MLP's tiny
+    # feature dims pad to full 128 MXU lanes either way, and XLA is
+    # already at that roofline), so auto never enables it.
+    dune_pallas: Optional[bool] = None
     # Top-k obstacle selection strategy:
     #   "exact": rank points by the closed-form signed polygon distance
     #     (~20 VPU flops/point), then run the MLP only on the K selected
@@ -68,7 +70,9 @@ class PANSpec:
     dune_select: str = "exact"
 
     def use_dune_pallas(self) -> bool:
-        return self.dune_pallas
+        if self.dune_pallas is not None:
+            return self.dune_pallas
+        return self.dune_select == "exact" and jax.default_backend() == "tpu"
 
 
 class PANState(NamedTuple):

@@ -28,3 +28,52 @@ def test_fused_mlp_ragged_size_padding():
     assert out.shape == (77, 4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_select_topk_kernel_matches_xla_ranking():
+    """Fused select kernel (interpret mode) ranks like the XLA exact path."""
+    from neupan_tpu.ops.dune import signed_polygon_distance
+    from neupan_tpu.ops.pallas.select import select_topk_pallas
+    from neupan_tpu.robot import Robot
+
+    robot = Robot.create(receding=4, step_time=0.1, kinematics="diff",
+                         max_speed=[8, 1], max_acce=[8, 3],
+                         length=1.6, width=2.0)
+    G = jnp.asarray(robot.G, jnp.float32)
+    h = jnp.asarray(robot.h, jnp.float32)
+    V = jnp.asarray(robot.vertices, jnp.float32)
+    rng = np.random.default_rng(0)
+    Tp1, P, K = 5, 256, 6
+    pf = jnp.asarray(rng.uniform(-8, 8, (Tp1, 2, P)), jnp.float32)
+    mask = jnp.asarray(np.arange(P) < 200)
+
+    keys, idx = select_topk_pallas(pf, mask, V, G, h, K, interpret=True)
+
+    d = signed_polygon_distance(V, G, h, pf)
+    md = np.where(np.asarray(mask)[None], np.asarray(d), 1e9)
+    idx_ref = np.argsort(md, axis=1, kind="stable")[:, :K]
+    np.testing.assert_array_equal(np.asarray(idx), idx_ref)
+    # keys ascending, valid flags correct
+    k_np = np.asarray(keys)
+    assert np.all(np.diff(k_np, axis=1) >= 0)
+    assert np.all(k_np < 5e8)
+
+
+def test_select_topk_kernel_masked_slots():
+    from neupan_tpu.ops.pallas.select import select_topk_pallas
+    from neupan_tpu.robot import Robot
+
+    robot = Robot.create(receding=2, step_time=0.1, kinematics="diff",
+                         max_speed=[8, 1], max_acce=[8, 3],
+                         length=1.0, width=1.0)
+    G = jnp.asarray(robot.G, jnp.float32)
+    h = jnp.asarray(robot.h, jnp.float32)
+    V = jnp.asarray(robot.vertices, jnp.float32)
+    P = 128
+    pf = jnp.asarray(np.random.default_rng(1).uniform(-5, 5, (3, 2, P)),
+                     jnp.float32)
+    mask = jnp.asarray(np.arange(P) < 3)
+    keys, idx = select_topk_pallas(pf, mask, V, G, h, 5, interpret=True)
+    valid = np.asarray(keys) < 5e8
+    assert valid[:, :3].all() and not valid[:, 3:].any()
+    assert np.asarray(idx)[:, :3].max() < 3
