@@ -81,31 +81,92 @@ class ADMMConfig:
     alpha: float = 1.6
     polish: bool = True
     polish_delta: float = 1e-7
-    refine_steps: int = 3
+    # polish iterative-refinement steps (cheap matvec rounds): 5 floors the
+    # hard-constraint violation at the f32 level (~2e-4 absolute on NRMP
+    # scales); 3 left ~1e-3 beta-penalty error on hinge-active instances.
+    refine_steps: int = 5
+    # recover polish duals by least squares against stationarity (the
+    # beta-difference-quotient duals carry O(beta*eps) ~ 1e-2 noise).
+    # Off by default: it buys ~3x better dual/stationarity fidelity
+    # (stat64 p50 2.5e-4 vs 1.3e-3 on hinge-active corridor instances) at
+    # the cost of one extra (m, m) factorization per polish candidate;
+    # the planner-relevant outputs (primal, objective gap ~1e-7, hard
+    # feasibility ~OSQP's 1e-3 eps) are equivalent.  Turn on (ideally with
+    # inverse_method="lu") when precise duals matter, e.g. offline
+    # analysis; LON's gradient tests pass either way.
+    dual_recovery: bool = False
     eps_act: float = 1e-5  # dual magnitude that marks a constraint active
-    # Newton-Schulz inverse iterations.  All linear solves in the solver go
-    # through an explicit SPD inverse computed by Newton-Schulz (pure
-    # batched matmuls): XLA's batched Cholesky + triangular solves run on
-    # the TPU's scalar/vector units and measured ~30 ms per factorization
-    # at B=512, while the same inverse via NS matmuls rides the MXU in ~3
-    # ms.  Convergence: with the safe init X0 = I/upper_bound(lambda_max)
-    # the SPD iteration always contracts; iters ~ log2(cond) + 6, and the
-    # Jacobi pre-scaling keeps cond modest.  40 covers cond <= ~1e9.
-    #
-    # Do NOT lower this for speed (measured 2026-08, scripts/exp_golden_ns.py
-    # + exp_ns_precision.py): on the flagship bench batch the NS residual
-    # floors by 16 iterations, but on stiff corridor-wall instances the NRMP
-    # optimum is *degenerate* — per-instance actions move >1e-3 (up to
-    # ~1.6e-2) under ANY solver perturbation, including RAISING ns to 64.
-    # The recorded goldens therefore pin this value; changing it breaks
-    # tests/test_golden.py without making the solutions less KKT-optimal.
-    # (Mixed-precision NS — bf16 front + f32 tail — DIVERGES outright: the
-    # bf16 noise floor eps*cond exceeds the contraction basin at cond~1e4.)
+    # SPD inverse path for the ADMM normal matrix and the polish Hessian:
+    # "chol" (default): Jacobi scaling + small ridge + batched Cholesky —
+    #   pivot-free, constant TPU timing, accurate to the ridge level (the
+    #   polish refinement removes the ridge error geometrically).
+    # "lu": pivoted LU via jnp.linalg.inv — most accurate, but measured
+    #   ~100x slower on TPU for real high-condition polish Hessians than
+    #   for random same-shape inputs (data-dependent slow path).
+    # "ns": MXU-matmul Newton-Schulz, the original path; f32 NS provably
+    #   cannot converge once lambda_min/lambda_ub < f32 eps, which real
+    #   polish Hessians hit at cond ~1e7.  History: NS was chosen when the
+    #   problems were 163x163 with slack variables and XLA's batched
+    #   factorizations measured ~30 ms; at 63x63 factorizations win.
+    inverse_method: str = "chol"
+    # Newton-Schulz iterations for inverse_method="ns".  Notes from the NS
+    # era (still relevant when using "ns"): the flagship bench batch floors
+    # by 16 iterations, but stiff corridor instances need 40, and the NRMP
+    # optimum is *degenerate* — actions move >1e-3 under ANY solver
+    # perturbation (including raising ns to 64), so goldens pin the exact
+    # configuration.  Mixed-precision NS (bf16 front + f32 tail) diverges.
     ns_iters: int = 40
     # polish equality-penalty weight (primal active-set solve): larger ->
     # more accurate single solve but worse conditioning; the iterative
     # refinement loop removes the O(1/beta) penalty error geometrically.
     polish_beta: float = 1e2
+    # total polish rounds: round 1 tries two candidates guessed from the
+    # ADMM iterate; each further round re-guesses the active set from the
+    # best point tried (classic add-by-violation / drop-by-dual-sign) and
+    # re-polishes.  With the least-squares dual recovery in place the
+    # round-1 candidates already reach the f32 KKT floor on the real
+    # corridor workload, so the default is 1; raise for pathological
+    # active-set churn.
+    polish_rounds: int = 1
+    # per-row rho scaling exponent for soft (penalty) rows:
+    # rho_i = base_rho^(1-p) * soft_i^p.  The z-prox damps the dual update
+    # of a soft row by rho/(rho+soft), which looks like it should stall —
+    # but measured on REAL trained corridor instances (scripts/
+    # exp_control_accuracy.py, /tmp/bad_qp_step60 diagnosis) p=0 converges
+    # to kkt ~3e-4 by 400 iterations while p=0.5 stalls at kkt ~0.9.  The
+    # opposite held on the synthetic random-coefficient bench batch (p=0.5
+    # cut worst-case kkt 3.2 -> 0.4), whose instances are degenerate
+    # (untrained encoder -> near-identical penalty rows).  Real instances
+    # win: default 0.  Knob kept for experimentation.
+    soft_rho_power: float = 0.0
+
+
+def _spd_inverse(M: jnp.ndarray, cfg: "ADMMConfig") -> jnp.ndarray:
+    """Inverse of an SPD matrix, Jacobi-scaled for conditioning.
+
+    See ADMMConfig.inverse_method for the trade-offs ("chol" default).
+    """
+    if cfg.inverse_method == "ns":
+        return _ns_spd_inverse(M, cfg.ns_iters)
+    n = M.shape[-1]
+    dj = jax.lax.rsqrt(jnp.abs(jnp.diagonal(M, axis1=-2, axis2=-1)) + 1e-30)
+    Mt = M * dj[..., :, None] * dj[..., None, :]
+    eye = jnp.eye(n, dtype=M.dtype)
+    if cfg.inverse_method == "lu":
+        X = jnp.linalg.inv(Mt)
+    else:  # "chol" (default): SPD-native, pivot-free — constant TPU timing.
+        # jnp.linalg.inv's pivoted LU measured ~100x slower on TPU for the
+        # REAL high-condition polish Hessians than for random matrices of
+        # the same shape (data-dependent slow path); Cholesky has no such
+        # cliff.  The ridge (1e-6 on the unit Jacobi diagonal) caps the
+        # factorization condition at ~1e6 so f32 Cholesky cannot break
+        # down; the resulting O(ridge*cond) inverse error is yet another
+        # regularizer that the polish refinement removes geometrically.
+        Mt = Mt + 1e-7 * eye
+        ch = jnp.linalg.cholesky(Mt)
+        X = jax.scipy.linalg.cho_solve(
+            (ch, True), jnp.broadcast_to(eye, Mt.shape))
+    return X * dj[..., :, None] * dj[..., None, :]
 
 
 def _ns_spd_inverse(M: jnp.ndarray, iters: int) -> jnp.ndarray:
@@ -214,7 +275,7 @@ def _admm_core(qp: QPData, cfg: ADMMConfig, x0: jnp.ndarray, y0: jnp.ndarray):
         # Normal-matrix inverse is materialized so the scan body is pure
         # matmuls (fast on TPU; no triangular solves in the loop).
         M = jnp.diag(P + cfg.sigma) + (A.T * rho) @ A
-        Minv = _ns_spd_inverse(M, cfg.ns_iters)
+        Minv = _spd_inverse(M, cfg)
 
         def body(carry, _):
             x, z, y = carry
@@ -251,6 +312,10 @@ def _admm_core(qp: QPData, cfg: ADMMConfig, x0: jnp.ndarray, y0: jnp.ndarray):
     x, z, y = x0, z0, y0
     for k in range(n_phases):
         rho = jnp.where(is_eq, base_rho * cfg.rho_eq_scale, base_rho)
+        if soft is not None and cfg.soft_rho_power > 0.0:
+            p = cfg.soft_rho_power
+            rho_soft = base_rho ** (1.0 - p) * jnp.maximum(soft, 1e-12) ** p
+            rho = jnp.where(is_soft, jnp.maximum(rho_soft, base_rho), rho)
         iters = per_phase if k < n_phases - 1 else cfg.iters - per_phase * (n_phases - 1)
         x, z, y = phase(x, z, y, rho, iters)
         if k < n_phases - 1:
@@ -334,23 +399,18 @@ def _polish_candidate(qp: QPData, cfg: ADMMConfig, low_act, up_act,
     b_act = jnp.where(active, b_act, 0.0)
 
     DA = A * d[:, None]
-    # s_reg trades IR contraction rate against cond(H): the slow IR mode is
-    # s_reg/(s_reg + lam) against the smallest true curvature lam along
-    # unconstrained directions; 1e-3 measured to reach the f32 KKT floor
-    # (~5e-7) in <= 3 refinement steps where 1e-2 stalled at ~1e-4.
-    s_reg = 1e-3
-    Pr = P + s_reg
     # Row-normalize the active rows so the penalty's spectrum is set by the
-    # active-set geometry, not by arbitrary constraint row scales — this is
-    # what keeps cond(H) low enough for an accurate f32 Newton-Schulz
-    # inverse.  Scale-aware beta: the multiplier-method contraction rate is
-    # ~ lam(P) / (lam(P) + beta), so beta rides the problem's cost scale.
+    # active-set geometry, not by arbitrary constraint row scales.
     rn = jnp.sqrt(jnp.sum(DA * DA, axis=1))
     rs = jnp.where(active, 1.0 / jnp.maximum(rn, 1e-8), 0.0)
     DAn = DA * rs[:, None]
-    beta = cfg.polish_beta * (jnp.max(Pr) + 1.0)
 
-    H = jnp.diag(Pr) + beta * (DAn.T @ DAn)
+    # The hard-row penalty must dominate the objective curvature along the
+    # constraint normals, which INCLUDES the active-soft Gauss-Newton term
+    # (its lambda_max can reach ~1e5 while max(P) ~ 2 for NRMP); otherwise
+    # the refinement contraction lambda/(lambda+beta) ~ 1 and the penalty
+    # constraint error never leaves.  trace(SA'SA) is a cheap upper bound.
+    curv = jnp.max(P)
     if soft_act is None:
         soft_grad = None
     else:
@@ -358,13 +418,29 @@ def _polish_candidate(qp: QPData, cfg: ADMMConfig, low_act, up_act,
         ssd = jnp.sqrt(qp.soft * soft_act.astype(P.dtype))
         SA = A * ssd[:, None]
         g3 = ssd * l
-        H = H + SA.T @ SA
         SAtg3 = SA.T @ g3
+        curv = curv + jnp.sum(SA * SA)
 
         def soft_grad(x):
             return SA.T @ (SA @ x) - SAtg3
 
-    Hinv = _ns_spd_inverse(H, cfg.ns_iters)
+    beta = cfg.polish_beta * (curv + 1.0)
+
+    # s_reg trades IR contraction rate against cond(H): the slow IR mode is
+    # s_reg/(s_reg + lam) against the smallest true curvature lam along
+    # unconstrained directions.  1e-3 + beta=10*curv measured the sweet
+    # spot on real corridor instances (first penalty solve already ~1e-3
+    # stationarity, refinement to the f32 floor in <= 5 steps); a
+    # curvature-scaled s_reg looked safer on paper but slowed the s-mode
+    # contraction to ~0.5/step and lost 100x final accuracy.
+    s_reg = 1e-3
+    Pr = P + s_reg
+
+    H = jnp.diag(Pr) + beta * (DAn.T @ DAn)
+    if soft_act is not None:
+        H = H + SA.T @ SA
+
+    Hinv = _spd_inverse(H, cfg)
 
     def kkt_solve(g1, g2):
         """Approximately solve Pop x + DA' y = g1 ; DA x - (1-d) y = g2,
@@ -387,6 +463,33 @@ def _polish_candidate(qp: QPData, cfg: ADMMConfig, low_act, up_act,
         dx, dy = kkt_solve(r1, r2)
         x = x + dx
         y = y + dy
+
+    # Dual recovery: the penalty-formula duals y = beta*(DAn x - b)*rs are a
+    # difference quotient — beta ~ 1e5 times an O(f32 eps) residual leaves
+    # O(1e-2) dual noise even when the primal is exact, which poisons the
+    # KKT-error-based candidate selection, the VJP's dual-sign active-set
+    # detection, and the ADMM warm start.  Recover the duals by least
+    # squares against stationarity instead:
+    #     min_y || P x + q + soft_grad(x) + DAn' y_n ||,  y = y_n * rs
+    # via the (m, m) masked normal equations (unit-normalized active rows
+    # keep the Gram conditioned by geometry only).
+    if cfg.dual_recovery:
+        r_stat = -q - P * x
+        if soft_grad is not None:
+            r_stat = r_stat - soft_grad(x)
+        # Solve with the (m, m) ROW Gram, not the (n, n) column Gram: the
+        # rhs DAn r lies in range(DAn) = range(row Gram), so the ridge
+        # never amplifies a null-space component.  (The algebraically
+        # equivalent n-form y = DAn (DAn'DAn + t)^-1 r was measured to
+        # inject ~6e-2 dual noise in f32: r has null(DAn')-components that
+        # get amplified by 1/t before the outer DAn cancels them only in
+        # exact arithmetic.)  The diag(1-d) block decouples inactive rows;
+        # the 1e-6 ridge (rows unit-normalized) picks min-norm multipliers
+        # when active rows are linearly dependent.
+        m_dim = DAn.shape[0]
+        Gm = DAn @ DAn.T + jnp.diag((1.0 - d) + 1e-6)
+        y_n = _spd_inverse(Gm, cfg) @ (DAn @ r_stat)
+        y = d * y_n * rs
 
     if is_soft is not None:
         # duals of soft rows are the (true, piecewise) penalty gradient
@@ -428,6 +531,9 @@ def _polish(qp: QPData, cfg: ADMMConfig, x: jnp.ndarray, y: jnp.ndarray):
         low1, low2 = low1 & ~is_soft, low2 & ~is_soft
         up1, up2 = up1 & ~is_soft, up2 & ~is_soft
 
+    # NOTE: batching the two candidates into one vmapped solve was measured
+    # ~9% SLOWER end-to-end on TPU (worse XLA lowering of the stacked
+    # Newton-Schulz matmuls) with no latency benefit — keep them sequential.
     x1, y1, ok1 = _polish_candidate(qp, cfg, low1, up1, sact1)
     x2, y2, ok2 = _polish_candidate(qp, cfg, low2, up2, sact2)
 
@@ -448,7 +554,56 @@ def _polish(qp: QPData, cfg: ADMMConfig, x: jnp.ndarray, y: jnp.ndarray):
     use2 = (e2 <= margin * e0) & ~use1
     x_out = jnp.where(use1, x1, jnp.where(use2, x2, x))
     y_out = jnp.where(use1, y1, jnp.where(use2, y2, y))
-    return x_out, y_out, None, None, use1 | use2
+    e_out = jnp.where(use1, e1, jnp.where(use2, e2, e0))
+    polished = use1 | use2
+
+    # guess source for further rounds: the best point TRIED, even when the
+    # margin rejected it for output — a rejected candidate is still usually
+    # far closer to the optimum than the ADMM iterate, so its constraint
+    # values/duals give a much better active-set guess.
+    g1_best = e1 <= jnp.minimum(e0, e2)
+    g2_best = (e2 <= jnp.minimum(e0, e1)) & ~g1_best
+    x_g = jnp.where(g1_best, x1, jnp.where(g2_best, x2, x))
+    y_g = jnp.where(g1_best, y1, jnp.where(g2_best, y2, y))
+    e_g = jnp.minimum(e0, jnp.minimum(e1, e2))
+
+    # Iterated polish = one step of a primal active-set method per round,
+    # warm-started from the best point tried.  The re-guess follows the
+    # classic add/drop rules — value-based re-guessing has a dead fixed
+    # point (enforced rows sit exactly at their bounds, so they would stay
+    # "active" forever; a wrongly-active soft row is pinned at its bound by
+    # its now two-sided Gauss-Newton term):
+    #   ADD  rows strictly violated at the guess point;
+    #   DROP rows whose multiplier has the wrong sign (kept only when the
+    #        dual sign certifies activity).
+    # Measured on real corridor instances (scripts/exp_control_accuracy.py):
+    # the round-1 guesses from the noisy ADMM duals leave ~1e-2..1 KKT
+    # error on hinge-active steps; one add/drop round recovers the set.
+    for _ in range(max(int(cfg.polish_rounds) - 1, 0)):
+        Axb = A @ x_g
+        low_r = (y_g < -cfg.eps_act) | (Axb - l < -1e-6)
+        up_r = (y_g > cfg.eps_act) | (u - Axb < -1e-6)
+        if qp.soft is None:
+            sact_r = None
+        else:
+            sact_r = is_soft & ((y_g < -cfg.eps_act) | (Axb - l < -1e-6))
+            low_r = low_r & ~is_soft
+            up_r = up_r & ~is_soft
+        x3, y3, ok3 = _polish_candidate(qp, cfg, low_r, up_r, sact_r)
+        e3 = jnp.where(ok3, kkt_error(P, q, A, l, u, x3, y3, qp.soft), big)
+        # output update keeps the stability margin vs the CURRENT output
+        use3 = e3 <= margin * e_out
+        x_out = jnp.where(use3, x3, x_out)
+        y_out = jnp.where(use3, y3, y_out)
+        e_out = jnp.where(use3, e3, e_out)
+        polished = polished | use3
+        # guess update is a plain argmin (no margin needed for guessing)
+        g3 = e3 < e_g
+        x_g = jnp.where(g3, x3, x_g)
+        y_g = jnp.where(g3, y3, y_g)
+        e_g = jnp.where(g3, e3, e_g)
+
+    return x_out, y_out, None, None, polished
 
 
 def _solve_single(qp: QPData, cfg: ADMMConfig,

@@ -39,17 +39,25 @@ def main(B=256):
                           d_min=jnp.asarray(0.1))
     nom_s, nom_u, ref_s, ref_us, pts, vels, mask = make_batch(spec, B)
 
-    # --- DUNE (one PAN iteration worth) -------------------------------
+    # --- DUNE (one PAN iteration worth), spec-default path -------------
+    vertices = (jnp.asarray(spec.robot.vertices, jnp.float32)
+                if spec.dune_select == "exact" else None)
+    use_pallas = spec.use_dune_pallas()
+
     @jax.jit
     def dune_only(nom_s, pts, vels, mask):
         with jax.default_matmul_precision("highest"):
             def one(nom_s, pts, vels, mask):
                 pf, R, glob = generate_point_flow(nom_s, pts, vels, spec.robot.dt)
-                return dune_forward(params, G, h, pf, R, glob, mask, spec.nrmp.K)
+                return dune_forward(params, G, h, pf, R, glob, mask, spec.nrmp.K,
+                                    use_pallas=use_pallas,
+                                    select=spec.dune_select, vertices=vertices)
             return jax.vmap(one)(nom_s, pts, vels, mask)
 
     t_dune = timeit(dune_only, nom_s, pts, vels, mask)
-    print(f"dune (1 iter, B={B}): {t_dune*1e3:.1f} ms", flush=True)
+    print(f"dune ({spec.dune_select}"
+          f"{'+pallas' if use_pallas else ''}, 1 iter, B={B}): "
+          f"{t_dune*1e3:.1f} ms", flush=True)
 
     # --- QP assembly + solve (one PAN iteration worth) ----------------
     rng = np.random.default_rng(0)

@@ -43,7 +43,10 @@ pts, vels, mask = planner._pad_points(pts_np, None)
 
 spec = planner.spec
 pf, R_all, glob = generate_point_flow(jnp.asarray(nom_s, jnp.float32), pts, vels, spec.robot.dt)
-dune = dune_forward(planner.dune_params, planner.G, planner.h, pf, R_all, glob, mask, spec.nrmp.K)
+vertices = (jnp.asarray(spec.robot.vertices, jnp.float32)
+            if spec.dune_select == "exact" else None)
+dune = dune_forward(planner.dune_params, planner.G, planner.h, pf, R_all, glob,
+                    mask, spec.nrmp.K, select=spec.dune_select, vertices=vertices)
 fa, fb = coefficients_from_dune(spec.nrmp, dune.mu_k, dune.lam_k, dune.points_k,
                                 dune.valid_k, planner.h, jnp.any(mask))
 A_dyn, B_dyn, C_dyn = spec.robot.linearize(jnp.asarray(nom_s, jnp.float32), jnp.asarray(nom_u, jnp.float32))
@@ -56,21 +59,21 @@ print("our u[:, :3]:", np.asarray(u_o)[:, :3])
 print("our d:", np.round(np.asarray(d_o), 3))
 print("rp/rd:", float(sol.r_prim), float(sol.r_dual))
 
-# scipy oracle on the same standard form
-from scipy.optimize import LinearConstraint, minimize
-P, q, A, l, u = [np.asarray(v, dtype=np.float64) for v in qp]
-n = P.shape[0]
-res = minimize(lambda x: 0.5*x@(P*x)+q@x, np.zeros(n), jac=lambda x: P*x+q,
-               hess=lambda x: np.diag(P), method="trust-constr",
-               constraints=[LinearConstraint(A, l, u)],
-               options={"gtol": 1e-10, "xtol": 1e-12, "maxiter": 5000})
-s_r, u_r, d_r = unpack_solution(spec.nrmp, jnp.asarray(res.x, jnp.float32))
+# scipy oracle on the same problem (soft rows as penalty objective)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from exp_control_accuracy import scipy_soft_oracle
+
+x_ref = scipy_soft_oracle(qp)
+s_r, u_r, d_r = unpack_solution(spec.nrmp, jnp.asarray(x_ref, jnp.float32))
 print("oracle u[:, :3]:", np.asarray(u_r)[:, :3])
 print("max |u diff|:", np.abs(np.asarray(u_o)-np.asarray(u_r)).max())
 print("max |s diff|:", np.abs(np.asarray(s_o)-np.asarray(s_r)).max())
 
 # dump the hard instance for offline solver experiments
+P, q, A, l, u = [np.asarray(v, np.float64)
+                 for v in (qp.P_diag, qp.q, qp.A, qp.l, qp.u)]
 np.savez("/tmp/hard_qp.npz", P=P, q=q, A=A, l=l, u=u,
+         soft=np.zeros_like(l) if qp.soft is None else np.asarray(qp.soft),
          x_warm=np.asarray(planner.pan_state.x_warm),
          y_warm=np.asarray(planner.pan_state.y_warm))
 print("dumped /tmp/hard_qp.npz")
