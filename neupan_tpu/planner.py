@@ -125,6 +125,15 @@ class NeuPan:
         self.h = jnp.asarray(self.robot.h, dtype=jnp.float32)
         self.dune_params = self._load_dune(pan_kwargs.get("dune_checkpoint"),
                                            train_kwargs)
+        if self._device is not None:
+            # Commit the static arrays to the YAML-selected device; jitted
+            # computation follows committed operands, so `device: cpu` pins
+            # the planner off an attached accelerator and `device: tpu`
+            # pins it on (parity intent of the reference's process-global
+            # device knob, reference configuration/__init__.py:25-57).
+            self.G = jax.device_put(self.G, self._device)
+            self.h = jax.device_put(self.h, self._device)
+            self.dune_params = jax.device_put(self.dune_params, self._device)
 
         # --- jitted step ---------------------------------------------------
         spec = self.spec
@@ -243,9 +252,15 @@ class NeuPan:
         self.info["opt_state_list"] = [s[:, np.newaxis] for s in opt_state_np.T]
 
         if self.check_stop():
+            # The stop latch fires exactly when the minimum obstacle distance
+            # crosses the collision threshold, so the collision flag rides
+            # with it (the reference initializes info["collision"] but never
+            # sets it — reference neupan.py:86; here it is live telemetry).
             self.info["stop"] = True
+            self.info["collision"] = True
             return np.zeros((2, 1)), self.info
         self.info["stop"] = False
+        self.info["collision"] = False
 
         action = opt_vel_np[:, 0:1].copy()
         if self.robot.kinematics == "omni":
@@ -407,6 +422,7 @@ class NeuPan:
         self.ipath.arrive_flag = False
         self.info["stop"] = False
         self.info["arrive"] = False
+        self.info["collision"] = False
         self.cur_vel_array = np.zeros_like(self.cur_vel_array)
         self.pan_state = init_state(self.spec)
 

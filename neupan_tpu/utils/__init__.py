@@ -4,17 +4,20 @@ Covers the capability surface of the reference's ``neupan/util/__init__.py``
 (reference: util/__init__.py:29-306): timing, file resolution, angle wrapping,
 rigid transforms, convex-polygon half-space generation, and decimation
 down-sampling.  Everything here is plain numpy / Python — these helpers run on
-the host, outside the jitted TPU compute path.
+the host, outside the jitted TPU compute path — and the geometry is written
+vectorized (edge-roll cross products, einsum half-spaces) rather than as
+per-vertex loops.
 """
 
 from __future__ import annotations
 
 import functools
+import itertools
 import os
 import sys
 import time
 from contextlib import contextmanager
-from math import atan2, cos, pi, sin, sqrt
+from math import cos, sin
 from typing import Callable, Optional, Tuple
 
 import numpy as np
@@ -53,13 +56,14 @@ def time_it(name: str = "Function") -> Callable:
 
 
 # ---------------------------------------------------------------------------
-# file resolution (parity with util/__init__.py:58-94 `file_check`)
+# file / directory resolution (capability parity: util/__init__.py:58-94)
 # ---------------------------------------------------------------------------
 
 def file_check(file_name: Optional[str], root_path: Optional[str] = None) -> Optional[str]:
-    """Resolve ``file_name`` against cwd, sys.path[0] and the package root.
+    """Resolve ``file_name`` against the script dir, cwd, and the repo root.
 
-    Returns the absolute path, or raises FileNotFoundError.
+    Returns an absolute path to the first existing candidate, or raises
+    FileNotFoundError listing the roots that were searched.
     """
     if file_name is None:
         return None
@@ -67,60 +71,52 @@ def file_check(file_name: Optional[str], root_path: Optional[str] = None) -> Opt
     if root_path is None:
         import neupan_tpu
 
-        root_path = os.path.dirname(os.path.dirname(os.path.abspath(neupan_tpu.__file__)))
+        root_path = os.path.dirname(
+            os.path.dirname(os.path.abspath(neupan_tpu.__file__)))
 
-    candidates = [
-        file_name,
-        os.path.join(sys.path[0], file_name) if sys.path and sys.path[0] else None,
-        os.path.join(os.getcwd(), file_name),
-        os.path.join(root_path, file_name),
-    ]
-    for cand in candidates:
-        if cand is not None and os.path.exists(cand):
+    roots = ["", sys.path[0] if sys.path and sys.path[0] else None,
+             os.getcwd(), root_path]
+    tried = []
+    for root in roots:
+        if root is None:
+            continue
+        cand = os.path.join(root, file_name) if root else file_name
+        tried.append(cand)
+        if os.path.exists(cand):
             return os.path.abspath(cand)
 
-    raise FileNotFoundError(f"File not found: {file_name}")
+    raise FileNotFoundError(f"File not found: {file_name} (searched {tried})")
 
 
 def repeat_mk_dirs(path: str, max_num: int = 100) -> str:
-    """Create a directory, appending _1.._N suffixes on collision."""
-    if not os.path.exists(path):
+    """Create ``path``; if it exists non-empty, create ``path_<k>`` instead."""
+    if not os.path.isdir(path):
         os.makedirs(path)
         return path
-    if len(os.listdir(path)) == 0:
+    if not os.listdir(path):
         return path
-    i = 1
-    new_path = path
-    while i < max_num:
-        new_path = f"{path}_{i}"
-        if not os.path.exists(new_path):
-            break
-        i += 1
-    os.makedirs(new_path)
-    return new_path
+    for k in itertools.count(1):
+        cand = f"{path}_{k}"
+        if not os.path.exists(cand):
+            os.makedirs(cand)
+            return cand
+        if k >= max_num:
+            os.makedirs(cand, exist_ok=True)
+            return cand
 
 
 # ---------------------------------------------------------------------------
-# geometry (parity with util/__init__.py:98-254)
+# geometry (capability parity: util/__init__.py:98-254, vectorized)
 # ---------------------------------------------------------------------------
 
-def wrap_to_pi(rad: float, positive: bool = False) -> float:
-    """Wrap an angle to [-pi, pi] (boundary values keep their sign)."""
-    wrapped = (rad + pi) % (2 * pi) - pi
-    if wrapped == -pi and rad > 0:
-        wrapped = pi
-    return abs(wrapped) if positive else wrapped
+def wrap_to_pi(rad, positive: bool = False):
+    """Wrap angle(s) to [-pi, pi] via the atan2 identity (array-friendly).
 
-
-# Reference-compatible alias.
-WrapToPi = wrap_to_pi
-
-
-def distance(point1: np.ndarray, point2: np.ndarray) -> float:
-    """Euclidean distance between two (2,1) column points."""
-    return sqrt(
-        (point1[0, 0] - point2[0, 0]) ** 2 + (point1[1, 0] - point2[1, 0]) ** 2
-    )
+    Boundary angles keep their sign (pi stays pi, -pi stays -pi).  Scalars in,
+    scalar out; arrays in, arrays out.
+    """
+    wrapped = np.arctan2(np.sin(rad), np.cos(rad))
+    return np.abs(wrapped) if positive else wrapped
 
 
 def get_transform(state: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -135,66 +131,64 @@ def get_transform(state: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return state[0:2], rot
 
 
-def cross_product(o, a, b) -> float:
-    """Cross product of vectors OA x OB (z component)."""
-    return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+def _edge_turns(vertex: np.ndarray) -> np.ndarray:
+    """z-components of consecutive-edge cross products for a (2,N) polygon."""
+    edges = np.roll(vertex, -1, axis=1) - vertex          # e_i = v_{i+1} - v_i
+    nxt = np.roll(edges, -1, axis=1)                      # e_{i+1}
+    return edges[0] * nxt[1] - edges[1] * nxt[0]          # e_i x e_{i+1}
 
 
 def is_convex_and_ordered(points: np.ndarray) -> Tuple[bool, Optional[str]]:
-    """Check convexity of a 2xN polygon and report winding ('CW'/'CCW')."""
-    n = points.shape[1]
-    if n < 3:
+    """Convexity + winding of a (2,N) polygon, in one vectorized pass.
+
+    Returns (True, 'CCW'|'CW') for convex input, (False, None) otherwise.
+    Collinear (all-zero-turn) input is treated as non-convex.
+    """
+    pts = np.asarray(points, dtype=np.float64)
+    if pts.ndim != 2 or pts.shape[0] != 2 or pts.shape[1] < 3:
         return False, None
-
-    direction = 0
-    for i in range(n):
-        o = points[:, i]
-        a = points[:, (i + 1) % n]
-        b = points[:, (i + 2) % n]
-        cross = cross_product(o, a, b)
-        if cross != 0:
-            if direction == 0:
-                direction = 1 if cross > 0 else -1
-            elif (cross > 0) != (direction > 0):
-                return False, None
-
-    return True, "CCW" if direction > 0 else "CW"
+    turns = _edge_turns(pts)
+    has_left, has_right = bool(np.any(turns > 0)), bool(np.any(turns < 0))
+    if has_left == has_right:  # mixed turning or fully degenerate
+        return False, None
+    return True, "CCW" if has_left else "CW"
 
 
 def gen_inequal_from_vertex(vertex: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Convex polygon (2,N) -> half-space description G x <= h.
 
-    Vertices may be CW or CCW; CW input is re-ordered to CCW keeping the first
-    vertex fixed (matches reference util:161-206).  Raises on non-convex input.
+    Accepts either winding; CW input is rewound to CCW about its first vertex
+    (so the emitted row order matches the reference's, util:161-206).  For CCW
+    edges e_i the outward normal is (e_y, -e_x); h pins each face to its base
+    vertex.  Raises ValueError on non-convex input.
     """
-    convex, order = is_convex_and_ordered(vertex)
+    pts = np.asarray(vertex, dtype=np.float64)
+    convex, winding = is_convex_and_ordered(pts)
     if not convex:
         raise ValueError("The polygon constructed by vertex is not convex.")
+    if winding == "CW":
+        pts = np.concatenate([pts[:, :1], pts[:, :0:-1]], axis=1)
 
-    if order == "CW":
-        vertex = np.hstack([vertex[:, 0:1], vertex[:, 1:][:, ::-1]])
-
-    num = vertex.shape[1]
-    G = np.zeros((num, 2))
-    h = np.zeros((num, 1))
-    for i in range(num):
-        pre = vertex[:, i]
-        nxt = vertex[:, (i + 1) % num]
-        diff = nxt - pre
-        a, b = diff[1], -diff[0]
-        G[i, 0] = a
-        G[i, 1] = b
-        h[i, 0] = a * pre[0] + b * pre[1]
+    edges = np.roll(pts, -1, axis=1) - pts                # (2, N) CCW edges
+    G = np.stack([edges[1], -edges[0]], axis=1)           # (N, 2) outward normals
+    h = np.einsum("nd,dn->n", G, pts)[:, None]            # (N, 1) face offsets
     return G, h
 
 
 def downsample_decimation(mat: np.ndarray, m: int) -> np.ndarray:
-    """Uniformly subsample a (dim, n) matrix to (dim, m) columns (m < n)."""
+    """Uniformly subsample a (dim, n) matrix to m columns, keeping endpoints.
+
+    Column i maps to index floor(i * (n-1) / (m-1)) — pure integer stride
+    arithmetic, so the selection is deterministic across platforms.  Returns
+    the input unchanged when m >= n.
+    """
     n = mat.shape[1]
     if m >= n:
         return mat
-    indices = np.linspace(0, n - 1, m).astype(int)
-    return mat[:, indices]
+    if m <= 1:
+        return mat[:, :1]
+    idx = (np.arange(m) * (n - 1)) // (m - 1)
+    return mat[:, idx]
 
 
 @contextmanager

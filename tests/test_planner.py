@@ -53,7 +53,26 @@ class TestFacade:
         pts = np.array([[1.2], [0.0]])
         action, info = p(state, pts)
         assert info["stop"]
+        assert info["collision"]  # stop latch == collision telemetry
         np.testing.assert_allclose(action, 0.0)
+        p.reset()
+        assert not p.info["collision"]
+
+    def test_collision_flag_clear_when_far(self):
+        p = make_planner(collision_threshold=0.01)
+        action, info = p(np.array([[0.0], [0.0], [0.0]]),
+                         np.array([[5.0], [3.0]]))
+        assert not info["stop"] and not info["collision"]
+
+    def test_device_key_cpu(self):
+        # `device: cpu` must pin the planner's committed arrays to a CPU
+        # device (and be accepted end-to-end), not be silently ignored.
+        p = make_planner(device="cpu")
+        assert p._device is not None and p._device.platform == "cpu"
+        assert p.G.devices() == {p._device}
+        action, _ = p(np.array([[0.0], [0.0], [0.0]]),
+                      np.array([[4.0], [1.0]]))
+        assert action.shape == (2, 1)
 
     def test_reset(self):
         p = make_planner()
