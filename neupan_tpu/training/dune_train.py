@@ -72,7 +72,13 @@ class DuneTrainer:
         hi = jnp.asarray(data_range[2:], jnp.float32)
         pts = jax.random.uniform(key, (data_size, 2), jnp.float32,
                                  minval=lo, maxval=hi)
-        mu, d = polygon_distance_labels(self.G, self.h, pts)
+        # Exact f32 matmuls are load-bearing here: on TPU the default
+        # precision lowers the label solves (2x2 vertex intersections, 4x4
+        # ridge systems) to bf16 passes, which injects ~1e-2 noise into the
+        # mu labels — an unlearnable dataset whose MSE floor sits exactly at
+        # the plateau the training then never escapes.
+        with jax.default_matmul_precision("highest"):
+            mu, d = polygon_distance_labels(self.G, self.h, pts)
         return pts, mu, d
 
     # ------------------------------------------------------------------
@@ -91,6 +97,7 @@ class DuneTrainer:
         decay_freq: int = 1500,
         save_loss: bool = False,
         seed: int = 0,
+        optimizer: str = "adam_l2",
         **_: object,
     ):
         """Run training; returns (trained params, final checkpoint path)."""
@@ -124,12 +131,34 @@ class DuneTrainer:
         sched = optax.exponential_decay(
             lr, transition_steps=decay_freq * n_batches,
             decay_rate=lr_decay, staircase=True)
-        tx = optax.adamw(sched, weight_decay=1e-4)
+        if optimizer == "adam_l2":
+            # torch-style Adam with COUPLED L2 (the reference's optimizer,
+            # dune_train.py:74): decay enters the gradient before the Adam
+            # moments, so its effective step scales with 1/sqrt(v) like the
+            # loss gradient does.  This is the default because it is the
+            # only recipe measured to escape the constant-function plateau
+            # reliably: the 4-term loss has a strong local minimum at
+            # "output = per-component label mean" (loss ~= label variance),
+            # and decoupled AdamW got permanently stuck there on some seeds
+            # while adam_l2 escaped on every seed tried (matrix experiment,
+            # round 2).
+            tx = optax.chain(optax.add_decayed_weights(1e-4),
+                             optax.scale_by_adam(),
+                             optax.scale_by_learning_rate(sched))
+        else:
+            tx = optax.adamw(sched, weight_decay=1e-4)
         opt_state = tx.init(params)
 
         G, h = self.G, self.h
 
         def epoch_step(params, opt_state, key, data):
+            # The 2->32->...->E MLP is tiny; bf16 MXU passes save nothing
+            # here but add gradient noise at the loss scale the model must
+            # reach (~1e-5) — force exact f32 throughout the update.
+            with jax.default_matmul_precision("highest"):
+                return _epoch_step(params, opt_state, key, data)
+
+        def _epoch_step(params, opt_state, key, data):
             p_all, mu_all, d_all = data
             n = p_all.shape[0]
             key, sk, rk = jax.random.split(key, 3)
@@ -165,7 +194,9 @@ class DuneTrainer:
             theta = jax.random.uniform(key, (), maxval=2 * jnp.pi)
             c, s = jnp.cos(theta), jnp.sin(theta)
             R = jnp.array([[c, -s], [s, c]])
-            return jnp.stack(_loss_terms(params, p_all, mu_all, d_all, G, h, R))
+            with jax.default_matmul_precision("highest"):
+                return jnp.stack(
+                    _loss_terms(params, p_all, mu_all, d_all, G, h, R))
 
         eval_losses = jax.jit(eval_losses)
 

@@ -86,7 +86,18 @@ def hard_violation(qp, x):
 
 def main():
     base = os.path.join(REPO, "examples/corridor/diff")
-    planner = NeuPan.init_from_yaml(os.path.join(base, "planner.yaml"))
+    from neupan_tpu.config import load_planner_config
+
+    cfg = load_planner_config(os.path.join(base, "planner.yaml"))
+    # ADMM_ITERS env overrides the solver iteration count so the SAME
+    # contract can qualify alternate bench configs (e.g. the 60-iter fast
+    # path) — the bench must only ever publish a config that PASSes here.
+    if os.environ.get("ADMM_ITERS"):
+        admm = dict(cfg["pan_kwargs"].get("admm") or {})
+        admm["iters"] = int(os.environ["ADMM_ITERS"])
+        cfg["pan_kwargs"]["admm"] = admm
+        print(f"ADMM override: {admm}")
+    planner = NeuPan(**cfg)
     env = load_env(os.path.join(base, "env.yaml"), planner.robot)
     spec = planner.spec
 
