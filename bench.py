@@ -32,15 +32,24 @@ from neupan_tpu.robot import Robot
 BASELINE_SOLVES_PER_S = 1000.0  # BASELINE.md target per chip
 
 
-def make_flagship(T=10, P=2048, K=10, admm_iters=60):
+def make_flagship(T=10, P=2048, K=10, admm_iters=None):
+    """The benchmarked spec.
+
+    The ADMM config defaults to the library default (ADMMConfig(), 400
+    iterations) — the SAME config every planner YAML runs and the one the
+    accuracy contract (scripts/exp_control_accuracy.py) qualifies: obj gap
+    <= 1e-4 vs an f64 oracle and hard feasibility <= 2e-3 on every checked
+    corridor step.  Never bench a config that does not PASS that contract.
+    """
     robot = Robot.create(receding=T, step_time=0.1, kinematics="diff",
                          max_speed=[8, 1], max_acce=[8, 3],
                          length=1.6, width=2.0)
     nrmp = NRMPSpec(T=T, K=K, kinematics="diff",
                     speed_bound=tuple(robot.speed_bound[:, 0]),
                     acce_bound=tuple(robot.acce_bound[:, 0]))
+    admm = ADMMConfig() if admm_iters is None else ADMMConfig(iters=admm_iters)
     spec = PANSpec(robot=robot, nrmp=nrmp, iter_num=2, iter_threshold=0.1,
-                   dune_max_num=P, admm=ADMMConfig(iters=admm_iters))
+                   dune_max_num=P, admm=admm)
     return spec
 
 
@@ -64,8 +73,14 @@ def bench(B=512, iters=10):
     spec = make_flagship()
     G = jnp.asarray(spec.robot.G, jnp.float32)
     h = jnp.asarray(spec.robot.h, jnp.float32)
-    params = obs_point_net.init_params(jax.random.PRNGKey(0), 2,
-                                       spec.robot.edge_dim)
+    # the deployed self-trained encoder — bench what ships, not random init
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "examples/model/diff_robot_default/model.npz")
+    if os.path.exists(ckpt):
+        params = obs_point_net.load_checkpoint(ckpt)
+    else:
+        params = obs_point_net.init_params(jax.random.PRNGKey(0), 2,
+                                           spec.robot.edge_dim)
     adjust = AdjustParams(q_s=jnp.asarray(1.0), p_u=jnp.asarray(1.0),
                           eta=jnp.asarray(10.0), d_max=jnp.asarray(1.0),
                           d_min=jnp.asarray(0.1))

@@ -42,10 +42,19 @@ def _machine_cache_key() -> str:
 
 
 if not _os.environ.get("NEUPAN_TPU_NO_CACHE"):
+    # The local cpuinfo key alone is NOT enough: a process whose backend is
+    # a remote-compile tunnel (e.g. JAX_PLATFORMS=axon) runs on this host
+    # but compiles its XLA:CPU executables on the tunnel server, whose CPU
+    # features differ — those entries land in the same dir and later LOCAL
+    # cpu runs load them (XLA loads AOT results across machine-feature
+    # mismatches with only a warning), silently changing numerics and
+    # flipping chaotic closed-loop outcomes.  Segregate by platform tag.
+    _platform_tag = (_os.environ.get("JAX_PLATFORMS") or "default").replace(
+        ",", "-")
     _cache_dir = _os.environ.get(
         "NEUPAN_TPU_CACHE_DIR",
         _os.path.join(_os.path.expanduser("~"), ".cache",
-                      f"neupan_tpu_jax_{_machine_cache_key()}"),
+                      f"neupan_tpu_jax_{_machine_cache_key()}_{_platform_tag}"),
     )
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -1,0 +1,140 @@
+"""Scenario-parallel scaling-efficiency harness.
+
+Measures full-planner solves/s vs device count over a ``jax.sharding.Mesh``
+(scenario axis on ICI), reporting per-device throughput and scaling
+efficiency relative to 1 device.  Writes ``BENCH_SCALING.json`` at the repo
+root (BASELINE.json asks for throughput measured at 1 chip / 1 host /
+>= 2 hosts).
+
+Modes:
+  * default: run on whatever devices the backend exposes.  Under
+    ``JAX_PLATFORMS=cpu`` + ``--xla_force_host_platform_device_count=8``
+    this exercises the real shard_map path on an 8-device virtual mesh
+    (numbers are CPU-relative, the SCALING CURVE is the product).  On a TPU
+    pod slice it measures real chips over ICI.
+  * --multiprocess: initialize ``jax.distributed`` first (coordinator/rank
+    from the standard env vars or flags), then run the same mesh measurement
+    over all processes' devices — the >= 2-host (DCN) path is this flag on
+    each host.
+
+Usage:
+    PYTHONPATH=/root/repo JAX_PLATFORMS=cpu \
+        XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python scripts/bench_scaling.py
+    python scripts/bench_scaling.py --multiprocess \
+        --coordinator 10.0.0.1:1234 --num-processes 2 --process-id $RANK
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-per-device", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--admm-iters", type=int, default=None,
+                    help="override ADMM iterations (default: planner default)")
+    ap.add_argument("--points", type=int, default=2048)
+    ap.add_argument("--multiprocess", action="store_true")
+    ap.add_argument("--coordinator", type=str,
+                    default=os.environ.get("JAX_COORDINATOR", ""))
+    ap.add_argument("--num-processes", type=int,
+                    default=int(os.environ.get("JAX_NUM_PROCESSES", "1")))
+    ap.add_argument("--process-id", type=int,
+                    default=int(os.environ.get("JAX_PROCESS_ID", "0")))
+    ap.add_argument("--out", type=str,
+                    default=os.path.join(REPO, "BENCH_SCALING.json"))
+    args = ap.parse_args()
+
+    import jax
+
+    if args.multiprocess:
+        # DCN-ready path: one flag per host turns the single-host harness
+        # into a multi-process (>= 2 hosts) measurement.
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator or None,
+            num_processes=args.num_processes,
+            process_id=args.process_id)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import bench as bench_mod
+    from neupan_tpu.parallel import (batched_init_state, make_mesh,
+                                     sharded_planner_step)
+    from neupan_tpu.models import obs_point_net
+    from neupan_tpu.ops.nrmp import AdjustParams
+
+    spec_kwargs = {}
+    if args.admm_iters is not None:
+        spec_kwargs["admm_iters"] = args.admm_iters
+    spec = bench_mod.make_flagship(P=args.points, **spec_kwargs)
+    G = jnp.asarray(spec.robot.G, jnp.float32)
+    h = jnp.asarray(spec.robot.h, jnp.float32)
+    ckpt = os.path.join(REPO, "examples/model/diff_robot_default/model.npz")
+    params = obs_point_net.load_checkpoint(ckpt)
+    adjust = AdjustParams(q_s=jnp.asarray(1.0), p_u=jnp.asarray(1.0),
+                          eta=jnp.asarray(10.0), d_max=jnp.asarray(1.0),
+                          d_min=jnp.asarray(0.1))
+
+    devices = jax.devices()
+    counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
+    if len(devices) not in counts:
+        counts.append(len(devices))
+
+    rows = []
+    for n in counts:
+        mesh = make_mesh(n)
+        B = args.batch_per_device * n
+        argsb = bench_mod.make_batch(spec, B)
+        state = batched_init_state(spec, B)
+
+        def step(*a):
+            return sharded_planner_step(spec, mesh, params, G, h, adjust, *a)
+
+        step = jax.jit(step)
+        out = step(*argsb, state)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = step(*argsb, out.state)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        sps = B * args.iters / dt
+        rows.append(dict(devices=n, batch=B, solves_per_s=round(sps, 1),
+                         per_device=round(sps / n, 1)))
+        print(f"devices={n:2d} batch={B:5d} solves/s={sps:9.1f} "
+              f"per-device={sps / n:8.1f}", flush=True)
+
+    base = rows[0]["per_device"]
+    for r in rows:
+        r["efficiency"] = round(r["per_device"] / base, 3)
+
+    result = dict(
+        backend=jax.default_backend(),
+        n_processes=jax.process_count(),
+        n_devices=len(devices),
+        batch_per_device=args.batch_per_device,
+        points=args.points,
+        admm_iters=args.admm_iters,
+        scaling=rows,
+    )
+    if jax.process_index() == 0:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(json.dumps({"scaling_efficiency_at_max_devices":
+                          rows[-1]["efficiency"],
+                          "devices": rows[-1]["devices"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

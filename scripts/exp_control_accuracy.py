@@ -89,12 +89,18 @@ def main():
     from neupan_tpu.config import load_planner_config
 
     cfg = load_planner_config(os.path.join(base, "planner.yaml"))
-    # ADMM_ITERS env overrides the solver iteration count so the SAME
-    # contract can qualify alternate bench configs (e.g. the 60-iter fast
-    # path) — the bench must only ever publish a config that PASSes here.
+    # ADMM_ITERS / ADMM_JSON env override the solver config so the SAME
+    # contract can qualify alternate bench configs (e.g. a cheap-iteration
+    # + multi-round-polish fast path) — the bench must only ever publish a
+    # config that PASSes here.
+    admm = dict(cfg["pan_kwargs"].get("admm") or {})
     if os.environ.get("ADMM_ITERS"):
-        admm = dict(cfg["pan_kwargs"].get("admm") or {})
         admm["iters"] = int(os.environ["ADMM_ITERS"])
+    if os.environ.get("ADMM_JSON"):
+        import json
+
+        admm.update(json.loads(os.environ["ADMM_JSON"]))
+    if admm:
         cfg["pan_kwargs"]["admm"] = admm
         print(f"ADMM override: {admm}")
     planner = NeuPan(**cfg)

@@ -1,0 +1,193 @@
+"""Golden tests against the REFERENCE implementation's torch math.
+
+The reference's DUNE forward (reference: blocks/dune.py:58-127) and NRMP
+obstacle-coefficient assembly (reference: blocks/nrmp.py:220-261) are pure
+torch — no cvxpy solve involved — so they can run in this environment and
+serve as ground truth for our batched JAX re-design.  cvxpy / cvxpylayers /
+rich (imported at module level but unused on these paths) are stubbed.
+
+Covered beyond the bare-MLP golden (tests/test_models.py):
+  * lambda = -R G' mu per frame,
+  * d = mu'(G p0 - h) and the per-frame ascending-distance sort,
+  * min_distance at frame 0,
+  * fa/fb assembly for frames 1..T including truncation to max_num and
+    pad-replication of row 0 when fewer points than slots are available.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+REF_CKPT = os.path.join(
+    REF, "example/model/diff_robot_default/model_5000.pth")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_CKPT), reason="reference checkout not available")
+
+
+def _install_import_stubs():
+    """Stub the reference's solver/UI deps that are absent here.
+
+    Only `import cvxpy as cp`, `from cvxpylayers.torch import CvxpyLayer`,
+    and `from rich... import ...` need to SUCCEED; nothing from them runs on
+    the torch-only code paths under test.
+    """
+
+    class _AnyAttrModule(types.ModuleType):
+        def __getattr__(self, name):
+            if name.startswith("__"):
+                raise AttributeError(name)
+            return type(name, (), {})
+
+    for name in ("cvxpy", "cvxpylayers", "cvxpylayers.torch", "rich",
+                 "rich.progress", "rich.live", "rich.table", "rich.console"):
+        if name not in sys.modules:
+            sys.modules[name] = _AnyAttrModule(name)
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    _install_import_stubs()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from neupan.blocks.dune import DUNE          # noqa: E402
+    from neupan.blocks.nrmp import NRMP          # noqa: E402
+
+    return DUNE, NRMP
+
+
+def _geometry():
+    from neupan_tpu.robot import Robot
+
+    return Robot.create(receding=6, step_time=0.1, kinematics="diff",
+                        max_speed=[8, 1], max_acce=[8, 3],
+                        length=1.6, width=2.0)
+
+
+def _scene(robot, n_points, seed=0):
+    """A curved nominal trajectory plus a random dynamic point cloud."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    T = robot.T
+    u = np.stack([np.full(T, 2.0), np.linspace(0.5, -0.5, T)])
+    nom_s = robot.rollout(jnp.asarray([0.0, 0.0, 0.3], jnp.float32),
+                          jnp.asarray(u, jnp.float32))
+    pts = rng.uniform(-8, 8, (2, n_points)).astype(np.float32)
+    vels = rng.uniform(-1, 1, (2, n_points)).astype(np.float32)
+    return np.asarray(nom_s), pts, vels
+
+
+def _run_ours(robot, nom_s, pts, vels, k):
+    import jax.numpy as jnp
+
+    from neupan_tpu.models import obs_point_net
+    from neupan_tpu.ops.dune import dune_forward, generate_point_flow
+
+    params = obs_point_net.load_checkpoint(REF_CKPT)
+    G = jnp.asarray(robot.G, jnp.float32)
+    h = jnp.asarray(robot.h, jnp.float32)
+    pf, R_all, glob = generate_point_flow(
+        jnp.asarray(nom_s, jnp.float32), jnp.asarray(pts), jnp.asarray(vels),
+        robot.dt)
+    mask = jnp.ones(pts.shape[1], bool)
+    out = dune_forward(params, G, h, pf, R_all, glob, mask, k=k, select="mlp")
+    return out, (pf, R_all, glob)
+
+
+def _run_reference_dune(ref_modules, robot, pf, R_all, glob):
+    import torch
+
+    DUNE, _ = ref_modules
+    robot_ns = types.SimpleNamespace(G=np.asarray(robot.G, np.float64),
+                                     h=np.asarray(robot.h, np.float64),
+                                     name="diff_robot_default")
+    dune = DUNE(receding=robot.T, checkpoint=REF_CKPT, robot=robot_ns,
+                dune_max_num=pf.shape[2])
+    point_flow = [torch.tensor(np.asarray(pf[t]), dtype=torch.float32)
+                  for t in range(pf.shape[0])]
+    R_list = [torch.tensor(np.asarray(R_all[t]), dtype=torch.float32)
+              for t in range(R_all.shape[0])]
+    obs_list = [torch.tensor(np.asarray(glob[t]), dtype=torch.float32)
+                for t in range(glob.shape[0])]
+    with torch.no_grad():
+        mu_list, lam_list, sort_point_list = dune.forward(
+            point_flow, R_list, obs_list)
+    return dune, mu_list, lam_list, sort_point_list
+
+
+def test_dune_forward_matches_reference(ref_modules):
+    """Full-frame parity: with k == P our masked top-k equals the
+    reference's per-frame ascending argsort of all points."""
+    robot = _geometry()
+    nom_s, pts, vels = _scene(robot, n_points=24)
+    P = pts.shape[1]
+
+    ours, (pf, R_all, glob) = _run_ours(robot, nom_s, pts, vels, k=P)
+    dune, mu_l, lam_l, sp_l = _run_reference_dune(
+        ref_modules, robot, pf, R_all, glob)
+
+    for t in range(robot.T + 1):
+        np.testing.assert_allclose(np.asarray(ours.mu_k[t]),
+                                   mu_l[t].numpy(), atol=3e-5,
+                                   err_msg=f"mu frame {t}")
+        np.testing.assert_allclose(np.asarray(ours.lam_k[t]),
+                                   lam_l[t].numpy(), atol=3e-5,
+                                   err_msg=f"lam frame {t}")
+        np.testing.assert_allclose(np.asarray(ours.points_k[t]),
+                                   sp_l[t].numpy(), atol=3e-5,
+                                   err_msg=f"sorted points frame {t}")
+    np.testing.assert_allclose(float(ours.min_distance),
+                               float(dune.min_distance), atol=3e-5)
+
+
+def test_nrmp_coefficients_match_reference_truncation(ref_modules):
+    """K < P: the reference keeps the K closest rows; ours must agree."""
+    _check_coefficients(ref_modules, n_points=24, K=5)
+
+
+def test_nrmp_coefficients_match_reference_pad_replication(ref_modules):
+    """K > P: slots beyond the available points replicate row 0
+    (reference nrmp.py:254-259)."""
+    _check_coefficients(ref_modules, n_points=3, K=8)
+
+
+def _check_coefficients(ref_modules, n_points, K):
+    import jax.numpy as jnp
+    import torch
+
+    from neupan_tpu.ops.nrmp import NRMPSpec, coefficients_from_dune
+
+    _, NRMP = ref_modules
+    robot = _geometry()
+    nom_s, pts, vels = _scene(robot, n_points=n_points, seed=3)
+
+    ours, (pf, R_all, glob) = _run_ours(robot, nom_s, pts, vels, k=K)
+    _, mu_l, lam_l, sp_l = _run_reference_dune(
+        ref_modules, robot, pf, R_all, glob)
+
+    spec = NRMPSpec(T=robot.T, K=K, kinematics="diff",
+                    speed_bound=(8.0, 1.0), acce_bound=(0.8, 0.3))
+    h = jnp.asarray(robot.h, jnp.float32)
+    fa, fb = coefficients_from_dune(spec, ours.mu_k, ours.lam_k,
+                                    ours.points_k, ours.valid_k, h,
+                                    jnp.asarray(True))
+
+    ref_self = types.SimpleNamespace(
+        no_obs=False, max_num=K, T=robot.T,
+        h=torch.tensor(np.asarray(robot.h), dtype=torch.float32))
+    with torch.no_grad():
+        ref_out = NRMP.generate_coefficient_parameter_value(
+            ref_self, mu_l, lam_l, sp_l)
+    fa_ref, fb_ref = ref_out[:robot.T], ref_out[robot.T:]
+
+    for t in range(robot.T):
+        np.testing.assert_allclose(np.asarray(fa[t]), fa_ref[t].numpy(),
+                                   atol=3e-5, err_msg=f"fa frame {t}")
+        np.testing.assert_allclose(np.asarray(fb[t]),
+                                   fb_ref[t].numpy().reshape(-1),
+                                   atol=3e-5, err_msg=f"fb frame {t}")

@@ -85,6 +85,48 @@ def test_eta_gradient_sign_matches_finite_difference():
         np.testing.assert_allclose(g, fd, rtol=0.3, atol=0.05)
 
 
+def test_vector_qs_gradient_path():
+    """The 3-vector q_s arity must carry per-component gradients through
+    the QP (reference nrmp.py:171-217 allows scalar or (3,1) q_s)."""
+    from neupan_tpu.lon import tracking_losses
+
+    spec, params, G, h, adj, inputs = setup()
+    adj3 = adj._replace(q_s=jnp.asarray([1.0, 1.0, 0.5], jnp.float32))
+
+    def loss_fn(out):
+        # state tracking depends on q_s through the QP solution
+        s_l, u_l = tracking_losses(out, inputs[2], inputs[3])
+        return s_l + u_l
+
+    loss, grads, _ = step_loss_and_grad(
+        spec, params, G, h, adj3, *inputs, init_state(spec),
+        loss_fn=loss_fn)
+    assert np.isfinite(float(loss))
+    g = np.asarray(grads.q_s)
+    assert g.shape == (3,)
+    assert np.all(np.isfinite(g))
+    assert np.any(np.abs(g) > 0)
+
+
+def test_tuning_descends_fixed_step_loss():
+    """Gradient steps on the adjust parameters must reduce a fixed step's
+    loss — the LON capability end-to-end in miniature (reference
+    example/LON/LON_corridor.py:115-143 shows episode-loss descent)."""
+    spec, params, G, h, adj, inputs = setup()
+    from neupan_tpu.lon import LONTuner
+
+    tuner = LONTuner(adj, lr=2e-2, train_fields=("p_u", "eta", "d_max"))
+    losses = []
+    cur = adj
+    for _ in range(12):
+        loss, grads, _ = step_loss_and_grad(
+            spec, params, G, h, cur, *inputs, init_state(spec),
+            collision_threshold=10.0)
+        losses.append(float(loss))
+        cur = tuner.update(cur, grads)
+    assert losses[-1] < losses[0], losses
+
+
 def test_tuner_updates_only_selected_fields():
     spec, params, G, h, adj, inputs = setup()
     tuner = LONTuner(adj, lr=1e-2, train_fields=("p_u", "eta", "d_max"))
