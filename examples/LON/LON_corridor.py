@@ -58,15 +58,38 @@ def run_episode(planner, tuner, base):
     return losses
 
 
-if __name__ == "__main__":
+def main(epochs=EPOCHS, save_path=None):
+    """Run LON tuning epochs; returns the per-epoch records.
+
+    With ``save_path``, appends one line per epoch (parameter trajectory +
+    episode loss) — the evidence artifact mirroring the reference's printed
+    trajectories (reference example/LON/LON_corridor.py:115-143).
+    """
     base = os.path.join(REPO, "examples", "corridor", "diff")
     planner = NeuPan.init_from_yaml(os.path.join(base, "planner.yaml"))
     tuner = LONTuner(planner.adjust, lr=5e-3)
 
-    for epoch in range(EPOCHS):
+    records = []
+    for epoch in range(epochs):
         losses = run_episode(planner, tuner, base)
         adj = planner.adjust
-        print(f"epoch {epoch}: steps={len(losses)} "
-              f"mean_loss={np.mean(losses) if losses else 0:.3f} "
-              f"p_u={float(adj.p_u):.3f} eta={float(adj.eta):.3f} "
-              f"d_max={float(adj.d_max):.3f}")
+        rec = dict(epoch=epoch, steps=len(losses),
+                   episode_loss=float(np.sum(losses)) if losses else 0.0,
+                   mean_loss=float(np.mean(losses)) if losses else 0.0,
+                   p_u=float(adj.p_u), eta=float(adj.eta),
+                   d_max=float(adj.d_max))
+        records.append(rec)
+        line = (f"epoch {epoch}: steps={rec['steps']} "
+                f"episode_loss={rec['episode_loss']:.3f} "
+                f"mean_loss={rec['mean_loss']:.3f} "
+                f"p_u={rec['p_u']:.4f} eta={rec['eta']:.4f} "
+                f"d_max={rec['d_max']:.4f}")
+        print(line, flush=True)
+        if save_path:
+            with open(save_path, "a") as f:
+                print(line, file=f)
+    return records
+
+
+if __name__ == "__main__":
+    main(save_path=os.environ.get("LON_SAVE"))

@@ -21,6 +21,20 @@ import os as _os
 
 import jax as _jax
 
+# Honor JAX_PLATFORMS even when jax was already imported before the caller
+# could set it: site hooks (e.g. a TPU-tunnel sitecustomize) import jax at
+# interpreter startup, which latches the env var into jax.config — a script
+# that then sets os.environ["JAX_PLATFORMS"] and imports this library would
+# silently run on the wrong backend (observed: "cpu" sweeps executing over
+# the TPU tunnel, 10x slower and with different fp behavior).  Backends are
+# not initialized until first use, so syncing the config here is safe.
+_env_platforms = _os.environ.get("JAX_PLATFORMS")
+if _env_platforms and _jax.config.jax_platforms != _env_platforms:
+    try:
+        _jax.config.update("jax_platforms", _env_platforms)
+    except Exception:
+        pass
+
 # Persistent compilation cache (opt-out via NEUPAN_TPU_NO_CACHE=1): the
 # planner step is one large jitted graph; caching makes warm process starts
 # near-instant on both CPU and TPU.  The directory is keyed by the host

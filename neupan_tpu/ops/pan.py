@@ -26,9 +26,11 @@ import jax.numpy as jnp
 from neupan_tpu.ops.dune import DuneOutput, dune_forward, generate_point_flow
 from neupan_tpu.ops.nrmp import (
     AdjustParams,
+    NRMPBlocks,
     NRMPSpec,
     build_qp,
     coefficients_from_dune,
+    make_structured_ops,
     unpack_solution,
 )
 from neupan_tpu.ops.qp import ADMMConfig, solve_qp
@@ -187,6 +189,8 @@ def _pan_forward_impl(
     use_pallas = spec.use_dune_pallas()
     vertices = (jnp.asarray(robot.vertices, dtype)
                 if spec.dune_select == "exact" else None)
+    mv_fns = (make_structured_ops(spec.nrmp)
+              if spec.admm.structured_iters else None)
     for _ in range(spec.iter_num):
         # --- DUNE ---------------------------------------------------------
         pf, R_all, pts_glob = generate_point_flow(nom_s, points, velocities, robot.dt)
@@ -200,7 +204,9 @@ def _pan_forward_impl(
         A_dyn, B_dyn, C_dyn = robot.linearize(nom_s, nom_u)
         qp = build_qp(spec.nrmp, adjust, nom_s, nom_u, ref_s, ref_us,
                       A_dyn, B_dyn, C_dyn, fa, fb)
-        sol = solve_qp(qp, spec.admm, cur.x_warm, cur.y_warm)
+        struct = (None if mv_fns is None else
+                  (mv_fns, NRMPBlocks(A_dyn, B_dyn, fa)))
+        sol = solve_qp(qp, spec.admm, cur.x_warm, cur.y_warm, struct=struct)
         s_new, u_new, d_new = unpack_solution(spec.nrmp, sol.x)
 
         # --- convergence test (computed with the *new* iterates) ----------

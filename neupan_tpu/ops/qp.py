@@ -128,6 +128,12 @@ class ADMMConfig:
     # corridor workload, so the default is 1; raise for pathological
     # active-set churn.
     polish_rounds: int = 1
+    # Use the caller-provided structured matvec (factored constraint
+    # blocks) inside the ADMM scan body instead of the dense (m, n) A.
+    # The dense A is the scan body's dominant HBM traffic (re-read twice
+    # per iteration); the factored form carries ~20x fewer bytes.  Callers
+    # must pass `struct=` to solve_qp for this to take effect.
+    structured_iters: bool = True
     # per-row rho scaling exponent for soft (penalty) rows:
     # rho_i = base_rho^(1-p) * soft_i^p.  The z-prox damps the dual update
     # of a soft row by rho/(rho+soft), which looks like it should stall —
@@ -243,12 +249,19 @@ def _ruiz_equilibrate(qp: QPData, iters: int = 10):
     return QPData(P, q, A, E * l, E * u, soft), D, E, c
 
 
-def _admm_core(qp: QPData, cfg: ADMMConfig, x0: jnp.ndarray, y0: jnp.ndarray):
+def _admm_core(qp: QPData, cfg: ADMMConfig, x0: jnp.ndarray, y0: jnp.ndarray,
+               struct=None):
     """Run fixed-iteration ADMM for one (unbatched) QP. vmap for batches.
 
     The problem is Ruiz-equilibrated first (fixed rho works reliably on the
     scaled problem, as in OSQP), then two scan phases run with one
     residual-balancing rho update and re-factorization in between.
+
+    ``struct`` (optional) = ((matvec, rmatvec), blocks): a factored form of
+    the UNSCALED constraint matrix.  When given (and cfg.structured_iters),
+    the scan body computes A-products through it — the equilibration scales
+    D/E wrap around the unscaled operator — while the dense A is still used
+    for the one-time normal-matrix formation and final residuals.
     """
     qp_s, D, E, c = _ruiz_equilibrate(qp)
     P, q, A = qp_s.P_diag, qp_s.q, qp_s.A
@@ -257,6 +270,21 @@ def _admm_core(qp: QPData, cfg: ADMMConfig, x0: jnp.ndarray, y0: jnp.ndarray):
     is_eq = (u - l) < 1e-9
     soft = qp_s.soft
     is_soft = None if soft is None else soft > 0.0
+
+    if struct is not None and cfg.structured_iters:
+        (s_mv, s_rmv), blocks = struct
+
+        def Amv(x):
+            return E * s_mv(blocks, D * x)
+
+        def Armv(y):
+            return D * s_rmv(blocks, E * y)
+    else:
+        def Amv(x):
+            return A @ x
+
+        def Armv(y):
+            return A.T @ y
 
     # warm start in scaled coordinates: x_bar = D^{-1} x, y_bar = c E^{-1} y
     x0 = x0 / D
@@ -279,9 +307,9 @@ def _admm_core(qp: QPData, cfg: ADMMConfig, x0: jnp.ndarray, y0: jnp.ndarray):
 
         def body(carry, _):
             x, z, y = carry
-            rhs = cfg.sigma * x - q + A.T @ (rho * z - y)
+            rhs = cfg.sigma * x - q + Armv(rho * z - y)
             x_t = Minv @ rhs
-            z_t = A @ x_t
+            z_t = Amv(x_t)
             x_new = cfg.alpha * x_t + (1.0 - cfg.alpha) * x
             z_mix = cfg.alpha * z_t + (1.0 - cfg.alpha) * z
             z_new = z_prox(z_mix + y / rho, rho)
@@ -293,8 +321,8 @@ def _admm_core(qp: QPData, cfg: ADMMConfig, x0: jnp.ndarray, y0: jnp.ndarray):
 
     def rebalance(base_rho, x, z, y):
         """OSQP residual-balancing update of the scalar rho."""
-        Ax = A @ x
-        Px, Aty = P * x, A.T @ y
+        Ax = Amv(x)
+        Px, Aty = P * x, Armv(y)
         rp = jnp.max(jnp.abs(Ax - z)) / jnp.maximum(
             jnp.maximum(jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(z))), 1e-6)
         rd = jnp.max(jnp.abs(Px + q + Aty)) / jnp.maximum(
@@ -308,7 +336,7 @@ def _admm_core(qp: QPData, cfg: ADMMConfig, x0: jnp.ndarray, y0: jnp.ndarray):
     per_phase = max(cfg.iters // n_phases, 1)
 
     base_rho = jnp.asarray(cfg.rho, P.dtype)
-    z0 = jnp.clip(A @ x0, l, u)
+    z0 = jnp.clip(Amv(x0), l, u)
     x, z, y = x0, z0, y0
     for k in range(n_phases):
         rho = jnp.where(is_eq, base_rho * cfg.rho_eq_scale, base_rho)
@@ -607,12 +635,13 @@ def _polish(qp: QPData, cfg: ADMMConfig, x: jnp.ndarray, y: jnp.ndarray):
 
 
 def _solve_single(qp: QPData, cfg: ADMMConfig,
-                  x0: jnp.ndarray, y0: jnp.ndarray) -> QPSolution:
+                  x0: jnp.ndarray, y0: jnp.ndarray,
+                  struct=None) -> QPSolution:
     # The solver's accuracy contract (<= 1e-3 control error vs the reference
     # solver) requires exact f32 matmuls: block bf16 fast paths (TPU MXU
     # default, CPU AMX) for everything inside the solve.
     with jax.default_matmul_precision("highest"):
-        x, y, z, rp, rd = _admm_core(qp, cfg, x0, y0)
+        x, y, z, rp, rd = _admm_core(qp, cfg, x0, y0, struct)
         if cfg.polish:
             x, y, _, _, _ = _polish(qp, cfg, x, y)
             l, u = _clip_bounds(qp.l, qp.u)
@@ -633,8 +662,14 @@ def _solve_single(qp: QPData, cfg: ADMMConfig,
 
 def solve_qp(qp: QPData, cfg: ADMMConfig,
              x0: Optional[jnp.ndarray] = None,
-             y0: Optional[jnp.ndarray] = None) -> QPSolution:
+             y0: Optional[jnp.ndarray] = None,
+             struct=None) -> QPSolution:
     """Solve one QP (unbatched).  Differentiable w.r.t. qp fields.
+
+    ``struct`` = ((matvec, rmatvec), blocks) optionally provides a factored
+    constraint operator for the ADMM scan body (see _admm_core).  Gradients
+    always flow through the dense qp fields (the blocks duplicate values
+    already inside qp.A, so they carry zero cotangent).
 
     For batches, vmap this function (see ``solve_qp_batch``).
     """
@@ -643,33 +678,44 @@ def solve_qp(qp: QPData, cfg: ADMMConfig,
         x0 = jnp.zeros((n,), dtype=qp.P_diag.dtype)
     if y0 is None:
         y0 = jnp.zeros((m,), dtype=qp.P_diag.dtype)
-    return _solve_qp_vjp(qp, cfg, x0, y0)
+    if struct is None:
+        mv_fns, blocks = None, None
+    else:
+        mv_fns, blocks = struct
+    return _solve_qp_vjp(qp, cfg, mv_fns, x0, y0, blocks)
 
 
 import functools
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _solve_qp_vjp(qp: QPData, cfg: ADMMConfig,
-                  x0: jnp.ndarray, y0: jnp.ndarray) -> QPSolution:
-    return _solve_single(qp, cfg, x0, y0)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _solve_qp_vjp(qp: QPData, cfg: ADMMConfig, mv_fns,
+                  x0: jnp.ndarray, y0: jnp.ndarray, blocks) -> QPSolution:
+    struct = None if mv_fns is None else (mv_fns, blocks)
+    return _solve_single(qp, cfg, x0, y0, struct)
 
 
-def _solve_fwd(qp, cfg, x0, y0):
-    sol = _solve_single(qp, cfg, x0, y0)
-    return sol, (qp, sol.x, sol.y)
+def _solve_fwd(qp, cfg, mv_fns, x0, y0, blocks):
+    struct = None if mv_fns is None else (mv_fns, blocks)
+    sol = _solve_single(qp, cfg, x0, y0, struct)
+    return sol, (qp, sol.x, sol.y, blocks)
 
 
-def _solve_bwd(cfg, res, g):
+def _solve_bwd(cfg, mv_fns, res, g):
     """Implicit differentiation through the active-set KKT conditions.
 
     At the solution: P x + q + A' y = 0 and, for active rows, A_i x = b_i.
     Differentiating gives the adjoint system K0' [dx; dnu] = [g_x; 0]; the
     parameter gradients follow the OptNet formulas restricted to diagonal P.
+    The structured blocks replicate values already present in qp.A, so the
+    full parameter gradient flows through dqp alone; the blocks receive
+    zero cotangent (anything else would double-count).
     """
-    qp, x, y = res
+    qp, x, y, blocks = res
     with jax.default_matmul_precision("highest"):
-        return _solve_bwd_impl(cfg, qp, x, y, g)
+        dqp, dx0, dy0 = _solve_bwd_impl(cfg, qp, x, y, g)
+    dblocks = jax.tree.map(jnp.zeros_like, blocks)
+    return (dqp, dx0, dy0, dblocks)
 
 
 def _solve_bwd_impl(cfg, qp, x, y, g):

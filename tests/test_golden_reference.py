@@ -44,7 +44,8 @@ def _install_import_stubs():
             return type(name, (), {})
 
     for name in ("cvxpy", "cvxpylayers", "cvxpylayers.torch", "rich",
-                 "rich.progress", "rich.live", "rich.table", "rich.console"):
+                 "rich.progress", "rich.live", "rich.table", "rich.console",
+                 "gctl"):
         if name not in sys.modules:
             sys.modules[name] = _AnyAttrModule(name)
 
@@ -82,7 +83,9 @@ def _scene(robot, n_points, seed=0):
     return np.asarray(nom_s), pts, vels
 
 
-def _run_ours(robot, nom_s, pts, vels, k):
+def _run_ours(robot, nom_s, pts, vels, k, n_valid=None):
+    """Run our DUNE.  ``n_valid`` < columns exercises the padded/masked
+    path (production: points are padded to a static P >= K)."""
     import jax.numpy as jnp
 
     from neupan_tpu.models import obs_point_net
@@ -94,7 +97,8 @@ def _run_ours(robot, nom_s, pts, vels, k):
     pf, R_all, glob = generate_point_flow(
         jnp.asarray(nom_s, jnp.float32), jnp.asarray(pts), jnp.asarray(vels),
         robot.dt)
-    mask = jnp.ones(pts.shape[1], bool)
+    P = pts.shape[1]
+    mask = (jnp.arange(P) < (P if n_valid is None else n_valid))
     out = dune_forward(params, G, h, pf, R_all, glob, mask, k=k, select="mlp")
     return out, (pf, R_all, glob)
 
@@ -151,12 +155,13 @@ def test_nrmp_coefficients_match_reference_truncation(ref_modules):
 
 
 def test_nrmp_coefficients_match_reference_pad_replication(ref_modules):
-    """K > P: slots beyond the available points replicate row 0
-    (reference nrmp.py:254-259)."""
-    _check_coefficients(ref_modules, n_points=3, K=8)
+    """Fewer valid points than K slots: slots beyond the available points
+    replicate row 0 (reference nrmp.py:254-259).  Our side sees a padded
+    point array with a 3-valid mask; the reference sees just the 3."""
+    _check_coefficients(ref_modules, n_points=12, K=8, n_valid=3)
 
 
-def _check_coefficients(ref_modules, n_points, K):
+def _check_coefficients(ref_modules, n_points, K, n_valid=None):
     import jax.numpy as jnp
     import torch
 
@@ -166,7 +171,10 @@ def _check_coefficients(ref_modules, n_points, K):
     robot = _geometry()
     nom_s, pts, vels = _scene(robot, n_points=n_points, seed=3)
 
-    ours, (pf, R_all, glob) = _run_ours(robot, nom_s, pts, vels, k=K)
+    ours, (pf, R_all, glob) = _run_ours(robot, nom_s, pts, vels, k=K,
+                                        n_valid=n_valid)
+    if n_valid is not None:
+        pf, glob = pf[:, :, :n_valid], glob[:, :, :n_valid]
     _, mu_l, lam_l, sp_l = _run_reference_dune(
         ref_modules, robot, pf, R_all, glob)
 
