@@ -35,11 +35,12 @@ BASELINE_SOLVES_PER_S = 1000.0  # BASELINE.md target per chip
 def make_flagship(T=10, P=2048, K=10, admm_iters=None):
     """The benchmarked spec.
 
-    The ADMM config defaults to the library default (ADMMConfig(), 400
-    iterations) — the SAME config every planner YAML runs and the one the
-    accuracy contract (scripts/exp_control_accuracy.py) qualifies: obj gap
-    <= 1e-4 vs an f64 oracle and hard feasibility <= 2e-3 on every checked
-    corridor step.  Never bench a config that does not PASS that contract.
+    The ADMM config defaults to the library default (ADMMConfig(): 300
+    iterations, 2 polish rounds) — the SAME config every planner YAML runs
+    and the one the double gate qualifies (BASELINE.md): the f64-oracle
+    optimality contract (scripts/exp_control_accuracy.py) AND the 25/25
+    scenario sweep (scripts/sweep_scenarios.py).  Never bench a config
+    that does not pass both.
     """
     robot = Robot.create(receding=T, step_time=0.1, kinematics="diff",
                          max_speed=[8, 1], max_acce=[8, 3],

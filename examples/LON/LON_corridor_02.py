@@ -28,6 +28,15 @@ STUCK_THRESHOLD = 0.01
 STUCK_COUNT_THRESHOLD = 5
 
 
+def composite_loss(out, ref_s, ref_us, stuck):
+    """Module-level (stable) loss so step_loss_and_grad's jit cache hits:
+    state MSE + speed MSE + distance loss with the stuck branch."""
+    state_loss, speed_loss = tracking_losses(out, ref_s, ref_us)
+    d_loss = distance_loss(out.opt_d, out.min_distance,
+                           collision_threshold=0.5, stuck=stuck)
+    return state_loss + speed_loss + d_loss
+
+
 def run_episode(planner, tuner, base):
     env = load_env(os.path.join(base, "env.yaml"), planner.robot)
     planner.reset()
@@ -55,18 +64,12 @@ def run_episode(planner, tuner, base):
             ref_s_j = jnp.asarray(ref_s, jnp.float32)
             ref_us_j = jnp.asarray(ref_us, jnp.float32)
 
-            def composite(out):
-                state_loss, speed_loss = tracking_losses(out, ref_s_j, ref_us_j)
-                d_loss = distance_loss(out.opt_d, out.min_distance,
-                                       collision_threshold=0.5, stuck=stuck)
-                return state_loss + speed_loss + d_loss
-
             loss, grads, _ = step_loss_and_grad(
                 planner.spec, planner.dune_params, planner.G, planner.h,
                 planner.adjust,
                 jnp.asarray(nom_s, jnp.float32), jnp.asarray(nom_u, jnp.float32),
                 ref_s_j, ref_us_j, pts, vels, mask, planner.pan_state,
-                loss_fn=composite)
+                loss_fn=composite_loss, stuck=stuck)
             planner.set_adjust_parameters(tuner.update(planner.adjust, grads))
             losses.append(float(loss))
 

@@ -48,6 +48,58 @@ def tracking_losses(out, ref_s: jnp.ndarray, ref_us: jnp.ndarray):
     return state_loss, speed_loss
 
 
+# One jitted value-and-grad per (spec, loss_fn, threshold).  Without this
+# cache every call re-traced a fresh closure through eager AD: each of the
+# episode's ~120 steps leaked trace/executable memory (~14 MB/s observed)
+# until LLVM's JIT could no longer allocate and the process segfaulted at
+# the next epoch.  Callers should pass a STABLE loss_fn (module-level
+# function, not a per-step closure) to hit the cache; the dict is bounded
+# as a backstop for per-call closures.
+_LOSS_GRAD_CACHE: dict = {}
+_LOSS_GRAD_CACHE_MAX = 32
+
+
+def _get_loss_grad_fn(spec: PANSpec, loss_fn, collision_threshold: float):
+    key = (spec, loss_fn, float(collision_threshold))
+    fn = _LOSS_GRAD_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    # A 1-arg loss_fn is called as loss_fn(out); a multi-arg one as
+    # loss_fn(out, ref_s, ref_us, stuck) so per-step values arrive as
+    # traced arguments instead of forcing a fresh (cache-missing) closure
+    # per step.
+    if loss_fn is None:
+        n_params = 1
+    else:
+        import inspect
+
+        try:
+            n_params = len(inspect.signature(loss_fn).parameters)
+        except (TypeError, ValueError):
+            n_params = 1
+
+    def wrapped(adj, dune_params, G, h, nom_s, nom_u, ref_s, ref_us,
+                points, velocities, mask, state, stuck):
+        out = pan_forward(spec, dune_params, G, h, adj,
+                          nom_s, nom_u, ref_s, ref_us,
+                          points, velocities, mask, state)
+        if loss_fn is None:
+            loss = distance_loss(out.opt_d, out.min_distance,
+                                 collision_threshold, stuck)
+        elif n_params == 1:
+            loss = loss_fn(out)
+        else:
+            loss = loss_fn(out, ref_s, ref_us, stuck)
+        return loss, out
+
+    fn = jax.jit(jax.value_and_grad(wrapped, has_aux=True))
+    if len(_LOSS_GRAD_CACHE) >= _LOSS_GRAD_CACHE_MAX:
+        _LOSS_GRAD_CACHE.pop(next(iter(_LOSS_GRAD_CACHE)))
+    _LOSS_GRAD_CACHE[key] = fn
+    return fn
+
+
 def step_loss_and_grad(spec: PANSpec, dune_params, G, h,
                        adjust: AdjustParams,
                        nom_s, nom_u, ref_s, ref_us,
@@ -55,19 +107,17 @@ def step_loss_and_grad(spec: PANSpec, dune_params, G, h,
                        loss_fn: Optional[Callable] = None,
                        collision_threshold: float = 0.3,
                        stuck=False):
-    """Differentiate one planner step's loss w.r.t. the adjust parameters."""
-    if loss_fn is None:
-        def loss_fn(out):
-            return distance_loss(out.opt_d, out.min_distance,
-                                 collision_threshold, stuck)
+    """Differentiate one planner step's loss w.r.t. the adjust parameters.
 
-    def wrapped(adj):
-        out = pan_forward(spec, dune_params, G, h, adj,
-                          nom_s, nom_u, ref_s, ref_us,
-                          points, velocities, mask, state)
-        return loss_fn(out), out
-
-    (loss, out), grads = jax.value_and_grad(wrapped, has_aux=True)(adjust)
+    The underlying value-and-grad is jitted and cached per (spec, loss_fn,
+    collision_threshold); ``stuck`` is traced, so flipping it does not
+    recompile.  Pass a stable (module-level) ``loss_fn`` to reuse the cache
+    across steps.
+    """
+    fn = _get_loss_grad_fn(spec, loss_fn, collision_threshold)
+    (loss, out), grads = fn(adjust, dune_params, G, h, nom_s, nom_u,
+                            ref_s, ref_us, points, velocities, mask, state,
+                            jnp.asarray(stuck, bool))
     return loss, grads, out
 
 

@@ -119,8 +119,13 @@ def dune_forward(params, G: jnp.ndarray, h: jnp.ndarray,
             # see ops/pallas/select.py.
             from neupan_tpu.ops.pallas.select import select_topk_pallas
 
-            keys_k, idx = select_topk_pallas(point_flow, mask, vertices,
-                                             G, h, k)
+            # The selection INDICES are piecewise-constant in every input,
+            # so the kernel is evaluated under stop_gradient (Pallas calls
+            # have no linearization rule; LON differentiates through
+            # pan_forward).  Gradients flow through the differentiable
+            # gathers below, exactly as for the XLA top_k path.
+            keys_k, idx = select_topk_pallas(
+                jax.lax.stop_gradient(point_flow), mask, vertices, G, h, k)
             valid_k = keys_k < _INF * 0.5
         else:
             d_sel = signed_polygon_distance(vertices, G, h, point_flow)

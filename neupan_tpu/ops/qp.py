@@ -67,7 +67,18 @@ class QPSolution(NamedTuple):
 
 @dataclasses.dataclass(frozen=True)
 class ADMMConfig:
-    iters: int = 400
+    # Contract-qualified default.  Per-QP optimality alone would admit 150
+    # (scripts/exp_control_accuracy.py PASSes at 150/200/300; 100 fails on
+    # hard feasibility 3.7e-2) — but closed-loop scenario OUTCOMES are
+    # chaotic in the solver config: at 200/250 iters the corridor/diff
+    # robot dodges the x=10 pillar downward into a cul-de-sac and
+    # deadlocks (the stuck-state QP matches the f64 oracle to 2e-4 —
+    # a formulation-level MPC fixed point, not a solver failure; see
+    # scripts/exp_stuck_oracle.py), while at 300+ it dodges upward and
+    # arrives.  300 = the cheapest count where the contract passes AND the
+    # 25-scenario sweep arrives 25/25; 400 buys nothing more and costs
+    # ~1.3x end-to-end.
+    iters: int = 300
     # step-size on the Ruiz-equilibrated problem; rho ~ 1 is the natural
     # scale after equilibration (0.1 converges far too slowly on stiff
     # obstacle-heavy NRMP instances)
@@ -123,17 +134,23 @@ class ADMMConfig:
     # total polish rounds: round 1 tries two candidates guessed from the
     # ADMM iterate; each further round re-guesses the active set from the
     # best point tried (classic add-by-violation / drop-by-dual-sign) and
-    # re-polishes.  With the least-squares dual recovery in place the
-    # round-1 candidates already reach the f32 KKT floor on the real
-    # corridor workload, so the default is 1; raise for pathological
-    # active-set churn.
-    polish_rounds: int = 1
+    # re-polishes.  Default 2: at iters=300 the round-1 guesses from the
+    # ADMM duals leave a 5.8e-3 hard violation on one corridor contract
+    # step (an active-set miss — refinement cannot fix a row it does not
+    # enforce); the add-by-violation round floors it at 2.0e-4, back at
+    # the contract's measured-clean level, for ~5% end-to-end cost.
+    polish_rounds: int = 2
     # Use the caller-provided structured matvec (factored constraint
     # blocks) inside the ADMM scan body instead of the dense (m, n) A.
-    # The dense A is the scan body's dominant HBM traffic (re-read twice
-    # per iteration); the factored form carries ~20x fewer bytes.  Callers
-    # must pass `struct=` to solve_qp for this to take effect.
-    structured_iters: bool = True
+    # The factored form carries ~20x fewer bytes than the dense A, but on
+    # the real chip (TPU v5 lite, B=512 flagship bench) it measured a 1.8x
+    # END-TO-END REGRESSION (2465 vs 4409 solves/s): the small gathers/
+    # segment products lower to many VPU ops while the dense form is one
+    # MXU batched matmul that never leaves VMEM at these sizes (m=114,
+    # n=63).  Default OFF; callers must also pass `struct=` to solve_qp
+    # for it to take effect.  Kept as an option for long-horizon problems
+    # where the dense A stops fitting VMEM.
+    structured_iters: bool = False
     # per-row rho scaling exponent for soft (penalty) rows:
     # rho_i = base_rho^(1-p) * soft_i^p.  The z-prox damps the dual update
     # of a soft row by rho/(rho+soft), which looks like it should stall —

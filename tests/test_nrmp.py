@@ -5,6 +5,8 @@ directly, no slacks) with scipy trust-constr; our assembled QP (slack
 reformulation, ops/nrmp.py) must produce the same (s, u, d).
 """
 
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -277,8 +279,11 @@ def test_structured_solve_matches_dense_solve():
     mv_fns = make_structured_ops(spec)
     blocks = NRMPBlocks(A_dyn, B_dyn, jnp.asarray(fa, jnp.float32))
 
+    # structured_iters defaults off (TPU-measured regression); force it on
+    # here so the structured scan-body path stays exercised.
+    cfg_s = dataclasses.replace(CFG, structured_iters=True)
     sol_d = solve_qp(qp, CFG)
-    sol_s = solve_qp(qp, CFG, struct=(mv_fns, blocks))
+    sol_s = solve_qp(qp, cfg_s, struct=(mv_fns, blocks))
     np.testing.assert_allclose(np.asarray(sol_s.x), np.asarray(sol_d.x),
                                atol=5e-4)
     # both certify optimality at the same level

@@ -77,3 +77,36 @@ def test_select_topk_kernel_masked_slots():
     valid = np.asarray(keys) < 5e8
     assert valid[:, :3].all() and not valid[:, 3:].any()
     assert np.asarray(idx)[:, :3].max() < 3
+
+
+def test_select_topk_kernel_grad_through_gather():
+    """LON differentiates through pan_forward; the kernel itself has no
+    linearization rule, so ops/dune.py evaluates it under stop_gradient
+    and lets gradients flow through the downstream gathers.  This mirrors
+    that usage: grad must not raise, and must be nonzero only at the
+    selected columns (regression for the LON-on-TPU autodiff crash)."""
+    import jax
+
+    from neupan_tpu.ops.pallas.select import select_topk_pallas
+    from neupan_tpu.robot import Robot
+
+    robot = Robot.create(receding=3, step_time=0.1, kinematics="diff",
+                         max_speed=[8, 1], max_acce=[8, 3],
+                         length=1.6, width=2.0)
+    G = jnp.asarray(robot.G, jnp.float32)
+    h = jnp.asarray(robot.h, jnp.float32)
+    V = jnp.asarray(robot.vertices, jnp.float32)
+    rng = np.random.default_rng(2)
+    Tp1, P, K = 4, 128, 5
+    pf = jnp.asarray(rng.uniform(-8, 8, (Tp1, 2, P)), jnp.float32)
+    mask = jnp.asarray(np.ones(P, bool))
+
+    def loss(pf):
+        _, idx = select_topk_pallas(jax.lax.stop_gradient(pf), mask, V,
+                                    G, h, K, interpret=True)
+        pf_k = jax.vmap(lambda arr, i: arr[:, i])(pf, idx)
+        return jnp.sum(pf_k ** 2)
+
+    g = jax.grad(loss)(pf)
+    nz = np.count_nonzero(np.asarray(g))
+    assert 0 < nz <= Tp1 * 2 * K
