@@ -86,16 +86,47 @@ def main():
                           d_min=jnp.asarray(0.1))
 
     devices = jax.devices()
-    counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
-    if len(devices) not in counts:
-        counts.append(len(devices))
+    if args.multiprocess:
+        # Multi-controller mode: only the GLOBAL mesh is measurable — a
+        # sub-mesh excluding some process's devices cannot be executed by
+        # that process (its jit would own no shard; observed segfault on
+        # the CPU backend).  Efficiency vs 1 device comes from comparing
+        # against the single-process run's table.
+        counts = [len(devices)]
+    else:
+        counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
+        if len(devices) not in counts:
+            counts.append(len(devices))
+
+    from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+    def globalize(tree, mesh):
+        """Per-process local batch -> global jax.Arrays sharded on axis 0.
+
+        Single-process: identity (jit shards host arrays itself).  Multi-
+        process: every input must be a global array assembled from each
+        process's local shard (host-local numpy into a sharded jit is not
+        addressable across controllers)."""
+        if not args.multiprocess:
+            return tree
+
+        def one(x):
+            x = np.asarray(x)
+            sh = NamedSharding(mesh, PSpec("scenario"))
+            return jax.make_array_from_process_local_data(sh, x)
+
+        return jax.tree.map(one, tree)
 
     rows = []
     for n in counts:
         mesh = make_mesh(n)
+        local_B = args.batch_per_device * (jax.local_device_count()
+                                           if args.multiprocess else n)
         B = args.batch_per_device * n
-        argsb = bench_mod.make_batch(spec, B)
-        state = batched_init_state(spec, B)
+        argsb = globalize(bench_mod.make_batch(spec, local_B,
+                                               seed=jax.process_index()),
+                          mesh)
+        state = globalize(batched_init_state(spec, local_B), mesh)
 
         def step(*a):
             return sharded_planner_step(spec, mesh, params, G, h, adjust, *a)
