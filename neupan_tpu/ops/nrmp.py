@@ -11,6 +11,7 @@ Mathematical parity with the reference problem:
   objective   ||q_s s - q_s ref_s||^2  (omni: x,y rows only)
             + ||p_u u[0,:] - p_u ref_us||^2
             + 0.5 bk ||s - nom_s||^2
+            + 0.5 reg_u ||u - nom_u||^2 + 0.5 reg_d ||d||^2   <- see NRMPSpec
             - eta sum(d)
             + 0.5 ro_obs ||neg(fa p - fb - d)||^2   <- hinge penalty
   subject to  s_{t+1} = A_t s_t + B_t u_t + C_t
@@ -33,6 +34,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,6 +64,27 @@ class NRMPSpec:
     acce_bound: Tuple[float, float]
     ro_obs: float = 400.0
     bk: float = 0.1
+    # Proximal/ridge regularization of the flat objective directions.  The
+    # reference problem is only PSD: omega (u[:,1]) has no quadratic term
+    # and d's objective is linear (-eta*d), so the optimum can sit on a
+    # near-degenerate face and WHICH face point a solver returns is set by
+    # solver noise — measured on recorded corridor instances, optimal points
+    # with equal objective (gap ~1e-6) differ by ~1e-2 in the commanded
+    # action, which makes closed-loop outcomes chaotic in the solver budget
+    # (BASELINE.md round-2 record; the reference escapes this because ECOS'
+    # interior-point path selects the analytic center of the optimal face).
+    # reg_u extends the reference's own proximal term (reference
+    # robot.py:172-180, states only) to the controls: 0.5*reg_u*||u-nom_u||^2
+    # vanishes at the PAN fixed point (u = nom_u there), so converged
+    # trajectories are unchanged, while degenerate-face selection becomes
+    # deterministic hysteresis toward the previous tick's plan.  reg_d is a
+    # plain ridge 0.5*reg_d*||d||^2 (no natural proximal center for d);
+    # it shifts the eta trade-off by ~reg_d*d/eta < 1% at the defaults.
+    # Measured effect (scripts/exp_solver_lab.py, 197 recorded instances):
+    # budget-sensitivity frac(|du0|>1e-3) between 150- and 300-iteration
+    # solves drops 0.16 -> 0.05 with dual recovery on.
+    reg_u: float = 0.1
+    reg_d: float = 0.1
 
     @property
     def no_obs(self) -> bool:
@@ -178,7 +201,7 @@ def build_qp(
     spec: NRMPSpec,
     adjust: AdjustParams,
     nom_s: jnp.ndarray,     # (3, T+1)
-    nom_u: jnp.ndarray,     # (2, T)  (enters only via linearization, unused here)
+    nom_u: jnp.ndarray,     # (2, T)  linearization point + reg_u prox center
     ref_s: jnp.ndarray,     # (3, T+1)
     ref_us: jnp.ndarray,    # (T,)
     A_dyn: jnp.ndarray,     # (T, 3, 3)
@@ -205,16 +228,20 @@ def build_qp(
     P_s = jnp.tile(2.0 * w_s + spec.bk, T + 1)   # (3(T+1),)
     q_lin_s = (-2.0 * w_s[:, None] * ref_s - spec.bk * nom_s).T.reshape(-1)
 
-    P_u = jnp.tile(jnp.stack([2.0 * p_u**2, jnp.zeros_like(p_u)]), T)
+    # control proximal (see NRMPSpec.reg_u): adds reg_u to BOTH u channels'
+    # curvature and centers the term at nom_u
+    P_u = jnp.tile(jnp.stack([2.0 * p_u**2 + spec.reg_u,
+                              jnp.full_like(p_u, spec.reg_u)]), T)
+    nom_u_flat = nom_u.T.reshape(-1)                 # (2T,) matching u order
     q_lin_u = jnp.stack(
         [-2.0 * p_u**2 * ref_us, jnp.zeros_like(ref_us)], axis=-1
-    ).reshape(-1)
+    ).reshape(-1) - spec.reg_u * nom_u_flat
 
     if spec.no_obs:
         P_diag = jnp.concatenate([P_s, P_u])
         q_lin = jnp.concatenate([q_lin_s, q_lin_u])
     else:
-        P_d = jnp.zeros((T,), dtype)
+        P_d = jnp.full((T,), spec.reg_d, dtype)
         q_lin_d = jnp.full((T,), -1.0, dtype) * adjust.eta.astype(dtype)
         P_diag = jnp.concatenate([P_s, P_u, P_d])
         q_lin = jnp.concatenate([q_lin_s, q_lin_u, q_lin_d])
@@ -322,6 +349,58 @@ def make_structured_ops(spec: NRMPSpec):
         return jnp.concatenate([s.reshape(-1), u.reshape(-1), d])
 
     return matvec, rmatvec
+
+
+def condensation(spec: NRMPSpec, A_dyn: jnp.ndarray, B_dyn: jnp.ndarray,
+                 C_dyn: jnp.ndarray, s0: jnp.ndarray):
+    """Analytic nullspace basis of the equality block (dynamics + init).
+
+    The dynamics/init equalities are ALWAYS active, so the polish EQP can
+    eliminate them once per QP instead of factoring them into every
+    candidate's Schur complement: any feasible x = Z w + xp with
+    w = (u, d) in R^{2T+T}, where the s-block of Z is the linearized
+    rollout sensitivity ds/du (a T-step scan) and xp is the zero-input
+    rollout.  This shrinks the per-candidate factorizations from
+    (n, n) + (m, m) to (2T+T, 2T+T) + (n_hard, n_hard) — for T=10 that is
+    63^3 + 114^3 -> 30^3 + 48^3 per EQP solve, ~14x fewer factorization
+    flops (see ops/qp.py ADMMConfig.elim_n_eq).
+
+    Returns (Z (n, 3T), xp (n,)) in the solver's variable ordering.
+    """
+    T = spec.T
+    k = 2 * T if spec.no_obs else 3 * T  # controls (+ distances)
+    dtype = A_dyn.dtype
+
+    # s-sensitivity to u: M_{t+1} = A_t M_t + B_t E_t  (E_t injects u_t)
+    def body(M, inp):
+        A_t, B_t, t = inp
+        M_new = A_t @ M
+        cur = jax.lax.dynamic_slice(M_new, (0, 2 * t), (3, 2))
+        M_new = jax.lax.dynamic_update_slice(M_new, cur + B_t, (0, 2 * t))
+        return M_new, M_new
+
+    M0 = jnp.zeros((3, 2 * T), dtype)
+    _, M_all = jax.lax.scan(body, M0, (A_dyn, B_dyn, jnp.arange(T)))
+    # rows: s_0 (zero sensitivity) then s_1..s_T
+    S_u = jnp.concatenate([M0[None], M_all], axis=0)     # (T+1, 3, 2T)
+
+    Z = jnp.zeros((spec.n, k), dtype)
+    Z = Z.at[: spec.n_s, :2 * T].set(S_u.reshape(-1, 2 * T))
+    Z = Z.at[spec.off_u: spec.off_u + 2 * T, :2 * T].set(
+        jnp.eye(2 * T, dtype=dtype))
+    if not spec.no_obs:
+        Z = Z.at[spec.off_d:, 2 * T:].set(jnp.eye(T, dtype=dtype))
+
+    # particular solution: zero-input rollout from s0
+    def roll(s, inp):
+        A_t, C_t = inp
+        s_new = A_t @ s + C_t[:, 0]
+        return s_new, s_new
+
+    _, s_traj = jax.lax.scan(roll, s0, (A_dyn, C_dyn))
+    s_all = jnp.concatenate([s0[None], s_traj], axis=0)  # (T+1, 3)
+    xp = jnp.zeros((spec.n,), dtype).at[: spec.n_s].set(s_all.reshape(-1))
+    return Z, xp
 
 
 def unpack_solution(spec: NRMPSpec, x: jnp.ndarray):

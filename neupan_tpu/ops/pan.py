@@ -30,6 +30,7 @@ from neupan_tpu.ops.nrmp import (
     NRMPSpec,
     build_qp,
     coefficients_from_dune,
+    condensation,
     make_structured_ops,
     unpack_solution,
 )
@@ -191,6 +192,7 @@ def _pan_forward_impl(
                 if spec.dune_select == "exact" else None)
     mv_fns = (make_structured_ops(spec.nrmp)
               if spec.admm.structured_iters else None)
+    admm = _admm_with_elim(spec)
     for _ in range(spec.iter_num):
         # --- DUNE ---------------------------------------------------------
         pf, R_all, pts_glob = generate_point_flow(nom_s, points, velocities, robot.dt)
@@ -206,7 +208,9 @@ def _pan_forward_impl(
                       A_dyn, B_dyn, C_dyn, fa, fb)
         struct = (None if mv_fns is None else
                   (mv_fns, NRMPBlocks(A_dyn, B_dyn, fa)))
-        sol = solve_qp(qp, spec.admm, cur.x_warm, cur.y_warm, struct=struct)
+        elim = condensation(spec.nrmp, A_dyn, B_dyn, C_dyn, nom_s[:, 0])
+        sol = solve_qp(qp, admm, cur.x_warm, cur.y_warm, struct=struct,
+                       elim=elim)
         s_new, u_new, d_new = unpack_solution(spec.nrmp, sol.x)
 
         # --- convergence test (computed with the *new* iterates) ----------
@@ -244,6 +248,22 @@ def _pan_forward_impl(
     )
 
 
+def _admm_with_elim(spec: PANSpec) -> ADMMConfig:
+    """Fill the condensed-polish row-layout statics from the NRMP spec.
+
+    The NRMP row layout (ops/nrmp.py:_static_template) is eq rows first
+    (dynamics 3T + init 3), then hard inequality rows (acce/speed/d-box),
+    then soft obstacle rows — exactly the contract ADMMConfig.elim_n_eq
+    documents.  User-provided overrides win.
+    """
+    if spec.admm.elim_n_eq is not None:
+        return spec.admm
+    nrmp = spec.nrmp
+    n_eq = nrmp.r_acc
+    n_hard = (nrmp.r_obs if not nrmp.no_obs else nrmp.m) - nrmp.r_acc
+    return dataclasses.replace(spec.admm, elim_n_eq=n_eq, elim_n_hard=n_hard)
+
+
 def _pan_forward_no_obs(spec: PANSpec, adjust: AdjustParams,
                         nom_s, nom_u, ref_s, ref_us, state: PANState) -> PANOutput:
     """Degenerate mode without obstacle handling (nrmp_max_num == 0,
@@ -252,12 +272,14 @@ def _pan_forward_no_obs(spec: PANSpec, adjust: AdjustParams,
     dtype = nom_s.dtype
     done = jnp.asarray(False)
     cur = state
+    admm = _admm_with_elim(spec)
 
     for _ in range(spec.iter_num):
         A_dyn, B_dyn, C_dyn = robot.linearize(nom_s, nom_u)
         qp = build_qp(spec.nrmp, adjust, nom_s, nom_u, ref_s, ref_us,
                       A_dyn, B_dyn, C_dyn)
-        sol = solve_qp(qp, spec.admm, cur.x_warm, cur.y_warm)
+        elim = condensation(spec.nrmp, A_dyn, B_dyn, C_dyn, nom_s[:, 0])
+        sol = solve_qp(qp, admm, cur.x_warm, cur.y_warm, elim=elim)
         s_new, u_new, _ = unpack_solution(spec.nrmp, sol.x)
 
         diff = jnp.sum((s_new - cur.prev_s) ** 2) + jnp.sum((u_new - cur.prev_u) ** 2)

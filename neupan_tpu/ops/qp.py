@@ -67,18 +67,16 @@ class QPSolution(NamedTuple):
 
 @dataclasses.dataclass(frozen=True)
 class ADMMConfig:
-    # Contract-qualified default.  Per-QP optimality alone would admit 150
-    # (scripts/exp_control_accuracy.py PASSes at 150/200/300; 100 fails on
-    # hard feasibility 3.7e-2) — but closed-loop scenario OUTCOMES are
-    # chaotic in the solver config: at 200/250 iters the corridor/diff
-    # robot dodges the x=10 pillar downward into a cul-de-sac and
-    # deadlocks (the stuck-state QP matches the f64 oracle to 2e-4 —
-    # a formulation-level MPC fixed point, not a solver failure; see
-    # scripts/exp_stuck_oracle.py), while at 300+ it dodges upward and
-    # arrives.  300 = the cheapest count where the contract passes AND the
-    # 25-scenario sweep arrives 25/25; 400 buys nothing more and costs
-    # ~1.3x end-to-end.
-    iters: int = 300
+    # Contract-qualified default.  Round 2 pinned 300 iterations because
+    # closed-loop outcomes were chaotic in the solver budget; round 3
+    # removed the chaos at its root (NRMPSpec.reg_u/reg_d strict convexity
+    # + the convergent active-set polish, see BASELINE.md "Round 3"), after
+    # which the corridor episode takes the same route at 100/150/300/600
+    # iterations and the ADMM's only job is seeding the polish.  150 is
+    # the qualified default: the optimality contract passes (viol 3e-4,
+    # gap 2e-6) and the 25-scenario sweep arrives 25/25 with the contact
+    # gate clean (scripts/sweep_scenarios.py, NEUPAN_ADMM_JSON override).
+    iters: int = 150
     # step-size on the Ruiz-equilibrated problem; rho ~ 1 is the natural
     # scale after equilibration (0.1 converges far too slowly on stiff
     # obstacle-heavy NRMP instances)
@@ -98,14 +96,15 @@ class ADMMConfig:
     refine_steps: int = 5
     # recover polish duals by least squares against stationarity (the
     # beta-difference-quotient duals carry O(beta*eps) ~ 1e-2 noise).
-    # Off by default: it buys ~3x better dual/stationarity fidelity
-    # (stat64 p50 2.5e-4 vs 1.3e-3 on hinge-active corridor instances) at
-    # the cost of one extra (m, m) factorization per polish candidate;
-    # the planner-relevant outputs (primal, objective gap ~1e-7, hard
-    # feasibility ~OSQP's 1e-3 eps) are equivalent.  Turn on (ideally with
-    # inverse_method="lu") when precise duals matter, e.g. offline
-    # analysis; LON's gradient tests pass either way.
-    dual_recovery: bool = False
+    # ON by default since round 3: the polish CANDIDATE SELECTION and the
+    # add/drop re-guessing both rank points by KKT error, and with quotient
+    # duals that ranking is noise on exactly the hinge-active instances
+    # polish exists for — measured on 197 recorded corridor instances
+    # (scripts/exp_solver_lab.py), accurate duals cut the fraction of
+    # budget-sensitive actions (|du0|>1e-3 between 150- and 300-iteration
+    # solves) from 0.16 to 0.05 together with the NRMPSpec.reg_u/reg_d
+    # regularization.  Cost: one (m, m) factorization per candidate.
+    dual_recovery: bool = True
     eps_act: float = 1e-5  # dual magnitude that marks a constraint active
     # SPD inverse path for the ADMM normal matrix and the polish Hessian:
     # "chol" (default): Jacobi scaling + small ridge + batched Cholesky —
@@ -131,15 +130,31 @@ class ADMMConfig:
     # more accurate single solve but worse conditioning; the iterative
     # refinement loop removes the O(1/beta) penalty error geometrically.
     polish_beta: float = 1e2
-    # total polish rounds: round 1 tries two candidates guessed from the
-    # ADMM iterate; each further round re-guesses the active set from the
-    # best point tried (classic add-by-violation / drop-by-dual-sign) and
-    # re-polishes.  Default 2: at iters=300 the round-1 guesses from the
-    # ADMM duals leave a 5.8e-3 hard violation on one corridor contract
-    # step (an active-set miss — refinement cannot fix a row it does not
-    # enforce); the add-by-violation round floors it at 2.0e-4, back at
-    # the contract's measured-clean level, for ~5% end-to-end cost.
-    polish_rounds: int = 2
+    # total polish rounds (EQP solves): round 0 guesses the active set from
+    # the ADMM duals+values; rounds 1.. re-identify BY VALUE around the best
+    # point tried with a shrinking tolerance (see _polish).  4 rounds
+    # converge the recorded corridor library's hinge-active instances that
+    # the old dual-guess + add/drop scheme left at KKT ~1e-1.
+    polish_rounds: int = 4
+    # CG iterations for the dual Schur solve inside _polish_candidate
+    # (0 = dense (m, m) factorization, the default).  CG was tried as the
+    # cheap path (S is the identity outside the active block), but the
+    # active block's spectrum spans ~1e-4..10 (soft-GN stiffness), so 20
+    # unpreconditioned iterations leave KKT ~0.3 on the library — keep 0
+    # unless combined with a proper preconditioner.
+    schur_cg_iters: int = 0
+    # Equality-elimination (condensed) EQP path.  When set (and the caller
+    # passes the elimination basis via solve_qp's `elim`), the problem's
+    # rows MUST be laid out as [0, elim_n_eq) equality rows,
+    # [elim_n_eq, elim_n_eq + elim_n_hard) hard inequality rows, and soft
+    # rows after — the NRMP layout (ops/nrmp.py:_static_template).  The
+    # always-active equalities are then eliminated analytically once per
+    # QP instead of being refactored into every polish candidate's Schur
+    # complement: per-candidate factorizations shrink from (n, n) + (m, m)
+    # to (n - n_eq)^2 + n_hard^2 — 63^3 + 114^3 -> 30^3 + 48^3 at T=10,
+    # ~14x fewer factorization flops, the dominant polish cost on TPU.
+    elim_n_eq: Optional[int] = None
+    elim_n_hard: Optional[int] = None
     # Use the caller-provided structured matvec (factored constraint
     # blocks) inside the ADMM scan body instead of the dense (m, n) A.
     # The factored form carries ~20x fewer bytes than the dense A, but on
@@ -410,25 +425,33 @@ def kkt_error(P, q, A, l, u, x, y, soft=None):
 
 def _polish_candidate(qp: QPData, cfg: ADMMConfig, low_act, up_act,
                       soft_act=None):
-    """Solve the masked active-set KKT system for one active-set guess.
+    """Solve the masked active-set EQP exactly via a dual Schur complement.
 
-    Uses all m rows with a mask so shapes stay static: inactive rows decouple
-    into y_i = -g2_i equations.  TPU-friendly formulation: the equality-
-    constrained QP is solved in *primal penalty* form
-        (diag(P+s) + beta DA' DA) x = g1 + beta DA' g2,
-        y = beta d (DA x - g2) - (1-d) g2
-    whose (n, n) SPD matrix is inverted by Newton-Schulz matmuls — both the
-    (m, m) dual Schur complement (m ~ 1.7 n here) and any Cholesky/LU path
-    measured several times the cost of the whole ADMM run on TPU.  Iterative
-    refinement against the exact (unregularized) KKT operator removes both
-    the s-regularization and the O(1/beta) penalty error geometrically
-    (augmented-Lagrangian contraction).
+    Uses all m rows with a mask so shapes stay static.  The equality-
+    constrained QP for an active-set guess is
 
-    Soft (penalty) rows guessed active (``soft_act``) enter the objective
-    exactly — 0.5*soft*(A_i x - l_i)^2 is quadratic once the active side is
-    fixed — so they add soft_i a_i a_i' to H and soft_i l_i a_i to the
-    gradient target, with NO penalty-approximation error to refine away.
-    Returns (x_pol, y_pol, finite_ok).
+        minimize  1/2 x' Hp x - g1' x       Hp = diag(P) + SA'SA
+        subject to  DAn x = g2n             (unit-normalized active rows)
+
+    where SA = sqrt(soft_i) a_i collects the ACTIVE soft (penalty) rows —
+    their one-sided quadratic is exact once the active side is fixed — and
+    g1 = -q + SA' g3 their gradient target.  Solved by the dual Schur
+    complement
+
+        S  = DAn Hp^{-1} DAn' + diag(1-d) + delta I
+        yn = S^{-1} (DAn Hp^{-1} g1 - g2n),   x = Hp^{-1}(g1 - DAn' yn)
+
+    which yields the exact multipliers BY CONSTRUCTION — the round-2
+    penalty formulation (beta-weighted normal matrix + difference-quotient
+    duals) broke down in f32 whenever many soft rows were active: its
+    beta ~ 1e2 * total soft curvature reached ~1e6, and both the primal
+    (cancellation in H) and the duals (beta times f32 residuals) drowned.
+    Here the only conditioning is Hp's (Jacobi-scaled Cholesky) and the
+    active-set geometry in S (unit rows; the diag(1-d) block decouples
+    inactive rows, the 1e-6 delta picks min-norm multipliers when active
+    rows are linearly dependent).  A few rounds of iterative refinement
+    against the exact KKT operator clear the remaining f32 factorization
+    noise.  Returns (x_pol, y_pol, finite_ok).
     """
     P, q, A = qp.P_diag, qp.q, qp.A
     l, u = _clip_bounds(qp.l, qp.u)
@@ -444,98 +467,83 @@ def _polish_candidate(qp: QPData, cfg: ADMMConfig, low_act, up_act,
     b_act = jnp.where(active, b_act, 0.0)
 
     DA = A * d[:, None]
-    # Row-normalize the active rows so the penalty's spectrum is set by the
-    # active-set geometry, not by arbitrary constraint row scales.
     rn = jnp.sqrt(jnp.sum(DA * DA, axis=1))
     rs = jnp.where(active, 1.0 / jnp.maximum(rn, 1e-8), 0.0)
     DAn = DA * rs[:, None]
+    g2n = b_act * rs
 
-    # The hard-row penalty must dominate the objective curvature along the
-    # constraint normals, which INCLUDES the active-soft Gauss-Newton term
-    # (its lambda_max can reach ~1e5 while max(P) ~ 2 for NRMP); otherwise
-    # the refinement contraction lambda/(lambda+beta) ~ 1 and the penalty
-    # constraint error never leaves.  trace(SA'SA) is a cheap upper bound.
-    curv = jnp.max(P)
     if soft_act is None:
-        soft_grad = None
+        SA = None
+        g1 = -q
+
+        def soft_grad(x):
+            return jnp.zeros_like(x)
     else:
-        # exact quadratic contribution of active soft rows
         ssd = jnp.sqrt(qp.soft * soft_act.astype(P.dtype))
         SA = A * ssd[:, None]
         g3 = ssd * l
         SAtg3 = SA.T @ g3
-        curv = curv + jnp.sum(SA * SA)
+        g1 = -q + SAtg3
 
         def soft_grad(x):
             return SA.T @ (SA @ x) - SAtg3
 
-    beta = cfg.polish_beta * (curv + 1.0)
+    Hp = jnp.diag(P + cfg.sigma)
+    if SA is not None:
+        Hp = Hp + SA.T @ SA
+    Hp_inv = _spd_inverse(Hp, cfg)
 
-    # s_reg trades IR contraction rate against cond(H): the slow IR mode is
-    # s_reg/(s_reg + lam) against the smallest true curvature lam along
-    # unconstrained directions.  1e-3 + beta=10*curv measured the sweet
-    # spot on real corridor instances (first penalty solve already ~1e-3
-    # stationarity, refinement to the f32 floor in <= 5 steps); a
-    # curvature-scaled s_reg looked safer on paper but slowed the s-mode
-    # contraction to ~0.5/step and lost 100x final accuracy.
-    s_reg = 1e-3
-    Pr = P + s_reg
+    HDAt = Hp_inv @ DAn.T                        # (n, m)
 
-    H = jnp.diag(Pr) + beta * (DAn.T @ DAn)
-    if soft_act is not None:
-        H = H + SA.T @ SA
+    if cfg.schur_cg_iters > 0:
+        # Matrix-free CG on S — S is the identity outside the ~|active|-
+        # dimensional block (diag(1-d) decoupling), so CG converges in
+        # O(|active|) iterations regardless of m, and each iteration is
+        # three small matvecs (~one ADMM iteration's work) instead of the
+        # (m, m) factorization, the single most expensive op in the solve.
+        def S_mv(v):
+            return DAn @ (Hp_inv @ (DAn.T @ v)) + ((1.0 - d) + 1e-6) * v
 
-    Hinv = _spd_inverse(H, cfg)
+        def S_solve(b):
+            def body(carry, _):
+                yv, r, p, rs_old = carry
+                Ap = S_mv(p)
+                alpha = rs_old / jnp.maximum(jnp.vdot(p, Ap), 1e-30)
+                yv = yv + alpha * p
+                r = r - alpha * Ap
+                rs_new = jnp.vdot(r, r)
+                p = r + (rs_new / jnp.maximum(rs_old, 1e-30)) * p
+                return (yv, r, p, rs_new), None
+            y0 = jnp.zeros_like(b)
+            (yv, _, _, _), _ = jax.lax.scan(
+                body, (y0, b, b, jnp.vdot(b, b)), None,
+                length=cfg.schur_cg_iters)
+            return yv
+    else:
+        S = DAn @ HDAt + jnp.diag((1.0 - d) + 1e-6)  # (m, m) SPD
+        S_inv = _spd_inverse(S, cfg)
 
-    def kkt_solve(g1, g2):
-        """Approximately solve Pop x + DA' y = g1 ; DA x - (1-d) y = g2,
-        where Pop = diag(P) + active-soft Gauss-Newton term (inside H)."""
-        g2n = g2 * rs
-        x = Hinv @ (g1 + beta * (DAn.T @ g2n))
-        y = d * (beta * (DAn @ x - g2n)) * rs - (1.0 - d) * g2
-        return x, y
+        def S_solve(b):
+            return S_inv @ b
 
-    g1_0 = -q if soft_grad is None else -q + SAtg3
-    x, y = kkt_solve(g1_0, b_act)
+    def kkt_solve(r1, r2n):
+        """Exact solve of  Hp dx + DAn' dyn = r1 ; DAn dx + (1-d) dyn = r2n."""
+        dyn = S_solve(HDAt.T @ r1 - r2n)
+        dx = Hp_inv @ (r1 - DAn.T @ dyn)
+        return dx, dyn
 
-    # refinement against the exact KKT operator (true P, no s_reg/penalty;
-    # the soft term is exact in H, so only hard-penalty error contracts)
+    x, yn = kkt_solve(g1, g2n)
+
+    # iterative refinement against the exact KKT operator (true P, no
+    # sigma) clears the f32 factorization/cancellation noise geometrically
     for _ in range(cfg.refine_steps):
-        r1 = -q - (P * x + DA.T @ y)
-        if soft_grad is not None:
-            r1 = r1 - soft_grad(x)
-        r2 = b_act - (DA @ x - (1.0 - d) * y)
-        dx, dy = kkt_solve(r1, r2)
+        r1 = -q - P * x - soft_grad(x) - DAn.T @ (d * yn)
+        r2n = g2n - (DAn @ x + (1.0 - d) * yn)
+        dx, dyn = kkt_solve(r1, r2n)
         x = x + dx
-        y = y + dy
+        yn = yn + dyn
 
-    # Dual recovery: the penalty-formula duals y = beta*(DAn x - b)*rs are a
-    # difference quotient — beta ~ 1e5 times an O(f32 eps) residual leaves
-    # O(1e-2) dual noise even when the primal is exact, which poisons the
-    # KKT-error-based candidate selection, the VJP's dual-sign active-set
-    # detection, and the ADMM warm start.  Recover the duals by least
-    # squares against stationarity instead:
-    #     min_y || P x + q + soft_grad(x) + DAn' y_n ||,  y = y_n * rs
-    # via the (m, m) masked normal equations (unit-normalized active rows
-    # keep the Gram conditioned by geometry only).
-    if cfg.dual_recovery:
-        r_stat = -q - P * x
-        if soft_grad is not None:
-            r_stat = r_stat - soft_grad(x)
-        # Solve with the (m, m) ROW Gram, not the (n, n) column Gram: the
-        # rhs DAn r lies in range(DAn) = range(row Gram), so the ridge
-        # never amplifies a null-space component.  (The algebraically
-        # equivalent n-form y = DAn (DAn'DAn + t)^-1 r was measured to
-        # inject ~6e-2 dual noise in f32: r has null(DAn')-components that
-        # get amplified by 1/t before the outer DAn cancels them only in
-        # exact arithmetic.)  The diag(1-d) block decouples inactive rows;
-        # the 1e-6 ridge (rows unit-normalized) picks min-norm multipliers
-        # when active rows are linearly dependent.
-        m_dim = DAn.shape[0]
-        Gm = DAn @ DAn.T + jnp.diag((1.0 - d) + 1e-6)
-        y_n = _spd_inverse(Gm, cfg) @ (DAn @ r_stat)
-        y = d * y_n * rs
-
+    y = d * yn * rs
     if is_soft is not None:
         # duals of soft rows are the (true, piecewise) penalty gradient
         y = jnp.where(is_soft, qp.soft * jnp.minimum(A @ x - l, 0.0), y)
@@ -544,123 +552,316 @@ def _polish_candidate(qp: QPData, cfg: ADMMConfig, low_act, up_act,
     return x, y, ok
 
 
-def _polish(qp: QPData, cfg: ADMMConfig, x: jnp.ndarray, y: jnp.ndarray):
-    """Active-set polish with two candidate active sets.
+def _polish_candidate_condensed(qp: QPData, cfg: ADMMConfig, low_act, up_act,
+                                soft_act, Z, xp, Geq_inv):
+    """Condensed active-set EQP: equalities eliminated via x = Z w + xp.
 
-    Candidate 1 (OSQP-style): active where the dual is clearly signed.
-    Candidate 2: additionally activates rows whose constraint value sits
-    within the achieved ADMM accuracy of a bound (catches weakly-active
-    rows whose duals are still small).  The candidate with the smallest
-    full KKT error wins; the ADMM iterate is the fallback.
+    See ADMMConfig.elim_n_eq for the row-layout contract and the cost
+    argument.  The reduced problem over w is
+
+        minimize  1/2 w' Hr w - g1r' w        Hr = Z' Hp Z
+        subject to  DAr w = g2r               (active hard-ineq rows)
+
+    solved by the same dual-Schur scheme as the full-space candidate, but
+    with (k, k) and (n_hard, n_hard) factorizations.  Equality duals are
+    recovered afterward from stationarity through the equality Gram
+    (Geq_inv, computed once per QP in _polish).
     """
     P, q, A = qp.P_diag, qp.q, qp.A
     l, u = _clip_bounds(qp.l, qp.u)
+    n_eq, n_hard = cfg.elim_n_eq, cfg.elim_n_hard
+    sl = slice(n_eq, n_eq + n_hard)
 
-    Ax = A @ x
-    viol = jnp.abs(Ax - jnp.clip(Ax, l, u))
-    if qp.soft is not None:
-        viol = jnp.where(qp.soft > 0.0, 0.0, viol)
-    rp = jnp.max(viol)
-    tol = jnp.clip(10.0 * rp, 1e-5, 1e-2)
+    A_h = A[sl]
+    l_h, u_h = l[sl], u[sl]
+    act_h = (low_act[sl] | up_act[sl])
+    d = act_h.astype(P.dtype)
+    b_act = jnp.where(up_act[sl], u_h, l_h)
+    b_act = jnp.where(act_h, b_act, 0.0)
 
-    low1, up1 = y < -cfg.eps_act, y > cfg.eps_act
-    low2 = low1 | (Ax - l < tol)
-    up2 = up1 | (u - Ax < tol)
+    DAh = A_h * d[:, None]
+    rn = jnp.sqrt(jnp.sum(DAh * DAh, axis=1))
+    rs = jnp.where(act_h, 1.0 / jnp.maximum(rn, 1e-8), 0.0)
+    DAnh = DAh * rs[:, None]
 
-    if qp.soft is None:
-        sact1 = sact2 = None
+    if soft_act is None:
+        SA = None
+        g1 = -q
+
+        def soft_grad(x_):
+            return jnp.zeros_like(x_)
     else:
-        is_soft = qp.soft > 0.0
-        sact1 = is_soft & (y < -cfg.eps_act)
-        sact2 = is_soft & (Ax - l < tol)
-        low1, low2 = low1 & ~is_soft, low2 & ~is_soft
-        up1, up2 = up1 & ~is_soft, up2 & ~is_soft
+        ssd = jnp.sqrt(qp.soft * soft_act.astype(P.dtype))
+        SA = A * ssd[:, None]
+        g3 = ssd * l
+        SAtg3 = SA.T @ g3
+        g1 = -q + SAtg3
 
-    # NOTE: batching the two candidates into one vmapped solve was measured
-    # ~9% SLOWER end-to-end on TPU (worse XLA lowering of the stacked
-    # Newton-Schulz matmuls) with no latency benefit — keep them sequential.
-    x1, y1, ok1 = _polish_candidate(qp, cfg, low1, up1, sact1)
-    x2, y2, ok2 = _polish_candidate(qp, cfg, low2, up2, sact2)
+        def soft_grad(x_):
+            return SA.T @ (SA @ x_) - SAtg3
+
+    Pr = P + cfg.sigma
+
+    def Hp_mv(v):
+        out = Pr * v
+        if SA is not None:
+            out = out + SA.T @ (SA @ v)
+        return out
+
+    # reduced quantities
+    PZ = Z * Pr[:, None]
+    Hr = Z.T @ PZ
+    if SA is not None:
+        SZ = SA @ Z
+        Hr = Hr + SZ.T @ SZ
+    g1r = Z.T @ (g1 - Hp_mv(xp))
+    DAr = DAnh @ Z                                   # (n_hard, k)
+    g2r = b_act * rs - DAnh @ xp                     # normalized rhs
+
+    Hr_inv = _spd_inverse(Hr, cfg)
+    HDAt = Hr_inv @ DAr.T                            # (k, n_hard)
+    S = DAr @ HDAt + jnp.diag((1.0 - d) + 1e-6)      # (n_hard, n_hard)
+    S_inv = _spd_inverse(S, cfg)
+
+    def kkt_solve(r1, r2):
+        dyn = S_inv @ (HDAt.T @ r1 - r2)
+        dw = Hr_inv @ (r1 - DAr.T @ dyn)
+        return dw, dyn
+
+    w, yn = kkt_solve(g1r, g2r)
+
+    for _ in range(cfg.refine_steps):
+        x_full = Z @ w + xp
+        r1 = Z.T @ (-q - P * x_full - soft_grad(x_full)) - DAr.T @ (d * yn)
+        r2 = g2r - (DAr @ w + (1.0 - d) * yn)
+        dw, dyn = kkt_solve(r1, r2)
+        w = w + dw
+        yn = yn + dyn
+
+    x = Z @ w + xp
+    y_h = d * yn * rs
+
+    # full dual vector: hard-ineq slice + soft gradient + equality recovery
+    m = A.shape[0]
+    y = jnp.zeros((m,), P.dtype).at[sl].set(y_h)
+    if soft_act is not None:
+        is_soft = qp.soft > 0.0
+        y = jnp.where(is_soft, qp.soft * jnp.minimum(A @ x - l, 0.0), y)
+    r_stat = -q - P * x - soft_grad(x) - A_h.T @ y_h
+    y_eq = Geq_inv @ (A[:n_eq] @ r_stat)
+    y = y.at[:n_eq].set(y_eq)
+
+    ok = jnp.all(jnp.isfinite(x)) & jnp.all(jnp.isfinite(y))
+    return x, y, ok
+
+
+def _polish(qp: QPData, cfg: ADMMConfig, x: jnp.ndarray, y: jnp.ndarray,
+            elim=None):
+    """Iterated active-set polish with value-based identification.
+
+    Round-3 redesign, grounded in the recorded corridor instance library
+    (scripts/exp_solver_lab.py):
+
+    * ADMM duals are far too noisy to identify the active set (eps_act
+      marks ~35-70 EXTRA rows on hinge-active instances while the true set
+      is contained in the guess), and the old add/drop re-guessing rules
+      read those same duals, so extra rows were never dropped (the
+      recovered least-squares multipliers spread stationarity over them
+      with consistent signs) — the loop cycled without converging.
+    * Value-based identification is reliable because the ADMM PRIMAL
+      converges well (hard feasibility ~1e-5 while the dual error is
+      ~1e-1): a row is active iff its value sits within tol of a bound,
+      with tol SHRINKING each round as the solve sharpens — extra rows
+      captured this way are near-harmless (they are enforced at values the
+      point already has), and missing rows are caught the next round once
+      x moves.  Soft (penalty) rows are active iff strictly on the penalty
+      side.  This requires a strictly convex P (NRMPSpec.reg_u/reg_d): an
+      EQP from a wrong guess is then bounded, so a bad round degrades
+      gracefully instead of diverging.
+
+    The update rule per round, anchored on the BEST point (x_g, y_g) tried
+    so far:
+
+        set_side = value-near-or-violated at x_g  &  NOT wrong-sign at y_g
+
+    The wrong-sign veto must act in the SAME round as the value
+    identification: a wrongly enforced row still sits exactly at its bound
+    at the candidate that enforced it, so naive value re-identification
+    re-adds it forever — this one interaction was the round-2 polish
+    stall (library instances 83/84/63/64 sat at a self-reproducing set
+    with one extra row whose multiplier had the wrong sign; with the veto,
+    the f64 version of this iteration converges every library instance to
+    the oracle, KKT ~1e-10).  Anchoring on the BEST point — rather than
+    iterating from the newest candidate — keeps the deep-contact
+    instances stable (40+ soft rows chatter around their kinks when the
+    identification follows a wandering candidate; anchored identification
+    leaves them at the ADMM iterate, which is the right fallback there).
+    The veto threshold scales with the anchor's own KKT error: exact EQP
+    duals support a tight veto, noisy ADMM duals only a loose one.
+    """
+    P, q, A = qp.P_diag, qp.q, qp.A
+    l, u = _clip_bounds(qp.l, qp.u)
+    is_eq = (u - l) < 1e-9
+    is_soft = None if qp.soft is None else qp.soft > 0.0
+    row_norm = jnp.sqrt(jnp.sum(A * A, axis=1))
+    tol_scale = jnp.maximum(row_norm, 1.0)
 
     big = jnp.asarray(jnp.inf, P.dtype)
-    e0 = kkt_error(P, q, A, l, u, x, y, qp.soft)
-    e1 = jnp.where(ok1, kkt_error(P, q, A, l, u, x1, y1, qp.soft), big)
-    e2 = jnp.where(ok2, kkt_error(P, q, A, l, u, x2, y2, qp.soft), big)
+    def hard_viol(Axc):
+        v = jnp.abs(Axc - jnp.clip(Axc, l, u))
+        if qp.soft is not None:
+            v = jnp.where(is_soft, 0.0, v)
+        return jnp.max(v)
 
-    # A polished candidate replaces the ADMM iterate only when it is
-    # *clearly* better (margin), never on a near-tie.  On degenerate
-    # instances the polish and ADMM points can have near-equal KKT error
-    # while sitting ~1e-3 apart; a bare e1 <= e0 comparison then flips with
-    # compile-path roundoff (vmap vs single lowering), making the planner
-    # output chaotic in its inputs.  The margin keeps the selection stable:
-    # whichever path wins, it wins in every compilation of the same problem.
-    margin = 0.3
-    use1 = (e1 <= margin * e0) & (e1 <= e2)
-    use2 = (e2 <= margin * e0) & ~use1
-    x_out = jnp.where(use1, x1, jnp.where(use2, x2, x))
-    y_out = jnp.where(use1, y1, jnp.where(use2, y2, y))
-    e_out = jnp.where(use1, e1, jnp.where(use2, e2, e0))
-    polished = use1 | use2
+    def rank_error(Axc, e_kkt):
+        """Selection metric: KKT error with hard violations up-weighted.
 
-    # guess source for further rounds: the best point TRIED, even when the
-    # margin rejected it for output — a rejected candidate is still usually
-    # far closer to the optimum than the ADMM iterate, so its constraint
-    # values/duals give a much better active-set guess.
-    g1_best = e1 <= jnp.minimum(e0, e2)
-    g2_best = (e2 <= jnp.minimum(e0, e1)) & ~g1_best
-    x_g = jnp.where(g1_best, x1, jnp.where(g2_best, x2, x))
-    y_g = jnp.where(g1_best, y1, jnp.where(g2_best, y2, y))
-    e_g = jnp.minimum(e0, jnp.minimum(e1, e2))
+        Feasibility is a hard contract bound while stationarity tolerance
+        is looser; ranked by the plain KKT error, an infeasible candidate
+        (viol 3e-3 = its whole KKT error) beat a feasible one at
+        stationarity 4e-3 — exactly the wrong trade (round-3 contract
+        step 25).  The 5x weight makes feasibility dominate near-ties.
+        """
+        return jnp.maximum(e_kkt, 5.0 * hard_viol(Axc))
 
-    # Iterated polish = one step of a primal active-set method per round,
-    # warm-started from the best point tried.  The re-guess follows the
-    # classic add/drop rules — value-based re-guessing has a dead fixed
-    # point (enforced rows sit exactly at their bounds, so they would stay
-    # "active" forever; a wrongly-active soft row is pinned at its bound by
-    # its now two-sided Gauss-Newton term):
-    #   ADD  rows strictly violated at the guess point;
-    #   DROP rows whose multiplier has the wrong sign (kept only when the
-    #        dual sign certifies activity).
-    # Measured on real corridor instances (scripts/exp_control_accuracy.py):
-    # the round-1 guesses from the noisy ADMM duals leave ~1e-2..1 KKT
-    # error on hinge-active steps; one add/drop round recovers the set.
-    for _ in range(max(int(cfg.polish_rounds) - 1, 0)):
-        Axb = A @ x_g
-        low_r = (y_g < -cfg.eps_act) | (Axb - l < -1e-6)
-        up_r = (y_g > cfg.eps_act) | (u - Axb < -1e-6)
+    Ax = A @ x
+    e0 = rank_error(Ax, kkt_error(P, q, A, l, u, x, y, qp.soft))
+    tol0 = jnp.clip(10.0 * hard_viol(Ax), 1e-5, 1e-2)
+
+    def identify(Axc, tol):
+        """Value-based activation at accuracy `tol` (+ violated side)."""
+        lo = (jnp.abs(Axc - l) < tol) | (Axc < l)
+        hi = (jnp.abs(Axc - u) < tol) | (Axc > u)
         if qp.soft is None:
-            sact_r = None
+            sa = None
         else:
-            sact_r = is_soft & ((y_g < -cfg.eps_act) | (Axb - l < -1e-6))
-            low_r = low_r & ~is_soft
-            up_r = up_r & ~is_soft
-        x3, y3, ok3 = _polish_candidate(qp, cfg, low_r, up_r, sact_r)
-        e3 = jnp.where(ok3, kkt_error(P, q, A, l, u, x3, y3, qp.soft), big)
-        # output update keeps the stability margin vs the CURRENT output
-        use3 = e3 <= margin * e_out
-        x_out = jnp.where(use3, x3, x_out)
-        y_out = jnp.where(use3, y3, y_out)
-        e_out = jnp.where(use3, e3, e_out)
-        polished = polished | use3
-        # guess update is a plain argmin (no margin needed for guessing)
-        g3 = e3 < e_g
-        x_g = jnp.where(g3, x3, x_g)
-        y_g = jnp.where(g3, y3, y_g)
-        e_g = jnp.where(g3, e3, e_g)
+            sa = is_soft & (Axc - l < 0.0)
+            lo, hi = lo & ~is_soft, hi & ~is_soft
+        return lo & ~is_eq, hi & ~is_eq, sa
+
+    use_elim = (elim is not None and cfg.elim_n_eq is not None
+                and cfg.elim_n_hard is not None)
+    if use_elim:
+        Z_e, xp_e = elim
+        Aeq = A[: cfg.elim_n_eq]
+        Geq = Aeq @ Aeq.T + 1e-8 * jnp.eye(cfg.elim_n_eq, dtype=P.dtype)
+        Geq_inv = _spd_inverse(Geq, cfg)
+
+        def candidate(lo, hi, sa):
+            return _polish_candidate_condensed(qp, cfg, lo, hi, sa,
+                                               Z_e, xp_e, Geq_inv)
+    else:
+        def candidate(lo, hi, sa):
+            return _polish_candidate(qp, cfg, lo, hi, sa)
+
+    x_g, y_g, e_g = x, y, e0            # best point tried (anchor)
+    x_out, y_out, e_out = x, y, e0
+    polished = jnp.asarray(False)
+    margin = 0.3
+
+    # identification tolerances per round: round 0 at the ADMM iterate's
+    # achieved accuracy, then geometrically shrinking as the anchor
+    # sharpens — the tolerance must stay ABOVE the anchor's own primal
+    # error or truly-active rows fall out of the set (their residual at
+    # the anchor exceeds the tolerance), which under-constrains the EQP
+    # and sends the candidate wandering; the floor 3e-4 sits just above
+    # the f32 EQP solve accuracy.  Extra near-bound rows captured by a
+    # looser tol are enforced at values the anchor already has (harmless).
+    n_rounds = max(int(cfg.polish_rounds), 1)
+    tols = [None] + [max(3e-3 * (0.3 ** (r - 1)), 3e-4)
+                     for r in range(1, n_rounds)]
+
+    for r in range(n_rounds):
+        Axg = A @ x_g
+        tol_r = tol0 if r == 0 else tols[r]
+        vlow, vup, sact_g = identify(Axg, tol_r * tol_scale)
+        if r == 0:
+            # seed round additionally trusts the ADMM DUAL signs (the
+            # classic OSQP guess).  The dual-marked extras are individually
+            # noise, but measured on the library they encode which rows
+            # push at mediocre ADMM points — value-only seeding loses
+            # 100-150-iteration anchors badly (u0 budget-sensitivity
+            # 0.05 -> 0.3) while the dual-seeded first candidate recovers.
+            dlow = (y < -cfg.eps_act) & ~is_eq
+            dup = (y > cfg.eps_act) & ~is_eq
+            if qp.soft is not None:
+                dlow, dup = dlow & ~is_soft, dup & ~is_soft
+            vlow = vlow | dlow
+            vup = vup | dup
+        # wrong-sign veto from the anchor's duals.  Threshold: tight when
+        # the anchor is an exact EQP candidate (dual noise ~2e-4), loose
+        # when it is still the raw ADMM iterate (dual noise ~ its KKT
+        # error) — a genuinely active row with a multiplier below the
+        # threshold is weakly active and harmless either way.
+        eps_drop = jnp.maximum(1e-3, 0.3 * e_g)
+        low_g = vlow & ~(y_g > eps_drop)
+        up_g = vup & ~(y_g < -eps_drop)
+        xc, yc, okc = candidate(low_g, up_g, sact_g)
+        Axc = A @ xc
+        ec = jnp.where(
+            okc,
+            rank_error(Axc, kkt_error(P, q, A, l, u, xc, yc, qp.soft)),
+            big)
+        # output acceptance: tight margin near the accuracy floor (near-
+        # equal errors ~1e-3 can flap between compile paths); well above
+        # it any clear improvement ships — rejecting those was measured to
+        # leave raw ADMM iterates with 3e-3 hard violations as output
+        usec = (ec <= margin * e_out) | ((ec <= 0.7 * e_out) & (e_out > 3e-2))
+        x_out = jnp.where(usec, xc, x_out)
+        y_out = jnp.where(usec, yc, y_out)
+        e_out = jnp.where(usec, ec, e_out)
+        polished = polished | usec
+        # anchor: plain argmin over points tried
+        gc = ec < e_g
+        x_g = jnp.where(gc, xc, x_g)
+        y_g = jnp.where(gc, yc, y_g)
+        e_g = jnp.where(gc, ec, e_g)
 
     return x_out, y_out, None, None, polished
 
 
+def _snap_variable_bounds(qp: QPData, x: jnp.ndarray) -> jnp.ndarray:
+    """Project x onto the single-variable (box) hard rows exactly.
+
+    Rows of A with exactly one nonzero entry are plain variable bounds; an
+    epsilon-violation left by the f32 polish (the last library stragglers
+    were a speed row at 1.2e-3 and a d-box row at 2.9e-3) is removed at
+    machine precision by clipping the variable.  The induced perturbation
+    of coupled rows (e.g. dynamics equalities touching a clipped control)
+    is |A|*delta ~ 1e-4, well inside the feasibility contract.
+    """
+    A, l, u = qp.A, qp.l, qp.u
+    m = A.shape[0]
+    absA = jnp.abs(A)
+    nnz = jnp.sum(absA > 1e-12, axis=1)
+    hard = jnp.ones((m,), bool) if qp.soft is None else ~(qp.soft > 0.0)
+    is_box = (nnz == 1) & hard & (u - l >= 1e-9)  # skip eq rows (dynamics)
+    j = jnp.argmax(absA, axis=1)
+    a = A[jnp.arange(m), j]
+    safe_a = jnp.where(jnp.abs(a) > 1e-12, a, 1.0)
+    lo = jnp.where(a > 0, l, u) / safe_a
+    hi = jnp.where(a > 0, u, l) / safe_a
+    lo, hi = jnp.maximum(lo, -_BIG), jnp.minimum(hi, _BIG)
+    # order-independent scatter (several rows may argmax the same variable)
+    n = x.shape[0]
+    lo_var = jnp.full((n,), -_BIG, x.dtype).at[j].max(
+        jnp.where(is_box, lo, -_BIG))
+    hi_var = jnp.full((n,), _BIG, x.dtype).at[j].min(
+        jnp.where(is_box, hi, _BIG))
+    return jnp.clip(x, lo_var, hi_var)
+
+
 def _solve_single(qp: QPData, cfg: ADMMConfig,
                   x0: jnp.ndarray, y0: jnp.ndarray,
-                  struct=None) -> QPSolution:
+                  struct=None, elim=None) -> QPSolution:
     # The solver's accuracy contract (<= 1e-3 control error vs the reference
     # solver) requires exact f32 matmuls: block bf16 fast paths (TPU MXU
     # default, CPU AMX) for everything inside the solve.
     with jax.default_matmul_precision("highest"):
         x, y, z, rp, rd = _admm_core(qp, cfg, x0, y0, struct)
         if cfg.polish:
-            x, y, _, _, _ = _polish(qp, cfg, x, y)
+            x, y, _, _, _ = _polish(qp, cfg, x, y, elim)
+            x = _snap_variable_bounds(qp, x)
             l, u = _clip_bounds(qp.l, qp.u)
             Ax = qp.A @ x
             z = jnp.clip(Ax, l, u)
@@ -680,13 +881,16 @@ def _solve_single(qp: QPData, cfg: ADMMConfig,
 def solve_qp(qp: QPData, cfg: ADMMConfig,
              x0: Optional[jnp.ndarray] = None,
              y0: Optional[jnp.ndarray] = None,
-             struct=None) -> QPSolution:
+             struct=None, elim=None) -> QPSolution:
     """Solve one QP (unbatched).  Differentiable w.r.t. qp fields.
 
     ``struct`` = ((matvec, rmatvec), blocks) optionally provides a factored
-    constraint operator for the ADMM scan body (see _admm_core).  Gradients
-    always flow through the dense qp fields (the blocks duplicate values
-    already inside qp.A, so they carry zero cotangent).
+    constraint operator for the ADMM scan body (see _admm_core).
+    ``elim`` = (Z, xp) optionally provides the equality-elimination basis
+    for the condensed polish path (requires cfg.elim_n_eq/elim_n_hard; see
+    ADMMConfig and ops/nrmp.py:condensation).  Gradients always flow
+    through the dense qp fields (the blocks/basis duplicate information
+    already inside qp, so they carry zero cotangent).
 
     For batches, vmap this function (see ``solve_qp_batch``).
     """
@@ -699,7 +903,7 @@ def solve_qp(qp: QPData, cfg: ADMMConfig,
         mv_fns, blocks = None, None
     else:
         mv_fns, blocks = struct
-    return _solve_qp_vjp(qp, cfg, mv_fns, x0, y0, blocks)
+    return _solve_qp_vjp(qp, cfg, mv_fns, x0, y0, blocks, elim)
 
 
 import functools
@@ -707,15 +911,16 @@ import functools
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def _solve_qp_vjp(qp: QPData, cfg: ADMMConfig, mv_fns,
-                  x0: jnp.ndarray, y0: jnp.ndarray, blocks) -> QPSolution:
+                  x0: jnp.ndarray, y0: jnp.ndarray, blocks,
+                  elim) -> QPSolution:
     struct = None if mv_fns is None else (mv_fns, blocks)
-    return _solve_single(qp, cfg, x0, y0, struct)
+    return _solve_single(qp, cfg, x0, y0, struct, elim)
 
 
-def _solve_fwd(qp, cfg, mv_fns, x0, y0, blocks):
+def _solve_fwd(qp, cfg, mv_fns, x0, y0, blocks, elim):
     struct = None if mv_fns is None else (mv_fns, blocks)
-    sol = _solve_single(qp, cfg, x0, y0, struct)
-    return sol, (qp, sol.x, sol.y, blocks)
+    sol = _solve_single(qp, cfg, x0, y0, struct, elim)
+    return sol, (qp, sol.x, sol.y, blocks, elim)
 
 
 def _solve_bwd(cfg, mv_fns, res, g):
@@ -728,11 +933,12 @@ def _solve_bwd(cfg, mv_fns, res, g):
     full parameter gradient flows through dqp alone; the blocks receive
     zero cotangent (anything else would double-count).
     """
-    qp, x, y, blocks = res
+    qp, x, y, blocks, elim = res
     with jax.default_matmul_precision("highest"):
         dqp, dx0, dy0 = _solve_bwd_impl(cfg, qp, x, y, g)
     dblocks = jax.tree.map(jnp.zeros_like, blocks)
-    return (dqp, dx0, dy0, dblocks)
+    delim = jax.tree.map(jnp.zeros_like, elim)
+    return (dqp, dx0, dy0, dblocks, delim)
 
 
 def _solve_bwd_impl(cfg, qp, x, y, g):

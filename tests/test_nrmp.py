@@ -68,7 +68,10 @@ def scipy_nrmp_oracle(spec, adjust, nom_s, nom_u, ref_s, ref_us,
         c = np.sum(m_s[:, None] * (q_s * s - q_s * ref_s) ** 2)
         c += np.sum((p_u * u[0] - p_u * ref_us) ** 2)
         c += 0.5 * spec.bk * np.sum((s - nom_s) ** 2)
+        # round-3 regularization terms (NRMPSpec.reg_u / reg_d)
+        c += 0.5 * spec.reg_u * np.sum((u - nom_u) ** 2)
         if not spec.no_obs:
+            c += 0.5 * spec.reg_d * np.sum(d**2)
             c += -eta * np.sum(d)
             I = (np.einsum("tkj,jt->tk", fa, s[0:2, 1:]) - fb - d[:, None])
             c += 0.5 * spec.ro_obs * np.sum(np.maximum(-I, 0.0) ** 2)
@@ -146,6 +149,8 @@ def test_nrmp_matches_original_formulation(kinematics):
         c = float(adjust.q_s) ** 2 * np.sum((s_ - ref_s) ** 2)
         c += float(adjust.p_u) ** 2 * np.sum((u_[0] - ref_us) ** 2)
         c += 0.5 * spec.bk * np.sum((s_ - nom_s) ** 2)
+        c += 0.5 * spec.reg_u * np.sum((u_ - nom_u) ** 2)
+        c += 0.5 * spec.reg_d * np.sum(d_**2)
         c += -float(adjust.eta) * np.sum(d_)
         I = np.einsum("tkj,jt->tk", np.asarray(fa), s_[0:2, 1:]) - \
             np.asarray(fb) - d_[:, None]
@@ -155,6 +160,29 @@ def test_nrmp_matches_original_formulation(kinematics):
     obj_ours = objective(np.asarray(s), np.asarray(u), np.asarray(d))
     obj_ref = objective(s_ref, u_ref, np.asarray(d_ref))
     assert obj_ours <= obj_ref + 1e-3 * (1.0 + abs(obj_ref))
+
+
+def test_reg_zero_recovers_reference_formulation():
+    """With reg_u = reg_d = 0, build_qp assembles exactly the reference's
+    NRMP problem (no extra quadratic terms) — the regularization is a pure
+    extension, parity-preserving when disabled."""
+    (robot, spec, adjust, nom_s, nom_u, ref_s, ref_us,
+     A_dyn, B_dyn, C_dyn, fa, fb) = make_problem()
+    spec0 = dataclasses.replace(spec, reg_u=0.0, reg_d=0.0)
+    qp = build_qp(spec0, adjust, jnp.asarray(nom_s, jnp.float32),
+                  jnp.asarray(nom_u, jnp.float32),
+                  jnp.asarray(ref_s, jnp.float32),
+                  jnp.asarray(ref_us, jnp.float32), A_dyn, B_dyn, C_dyn,
+                  jnp.asarray(fa, jnp.float32), jnp.asarray(fb, jnp.float32))
+    P = np.asarray(qp.P_diag)
+    T = spec.T
+    off_u = 3 * (T + 1)
+    # omega rows carry no quadratic term, d rows none either
+    np.testing.assert_allclose(P[off_u + 1:off_u + 2 * T:2], 0.0)
+    np.testing.assert_allclose(P[off_u + 2 * T:], 0.0)
+    # and the u-linear term has no nom_u contribution
+    qlin = np.asarray(qp.q)
+    np.testing.assert_allclose(qlin[off_u + 1:off_u + 2 * T:2], 0.0)
 
 
 def test_nrmp_no_obs_matches():
@@ -205,6 +233,8 @@ def test_nrmp_omni_state_cost_mask():
         c = np.sum(m_s[:, None] * (s_ - ref_s) ** 2)
         c += np.sum((u_[0] - ref_us) ** 2)
         c += 0.5 * spec.bk * np.sum((s_ - nom_s) ** 2)
+        c += 0.5 * spec.reg_u * np.sum((u_ - nom_u) ** 2)
+        c += 0.5 * spec.reg_d * np.sum(d_**2)
         c += -float(adjust.eta) * np.sum(d_)
         I = np.einsum("tkj,jt->tk", np.asarray(fa), s_[0:2, 1:]) - \
             np.asarray(fb) - d_[:, None]
