@@ -1,0 +1,151 @@
+"""Block-tridiagonal SPD factorization for horizon-structured matrices.
+
+The NRMP normal matrix M = diag(P) + A' R A and the polish Hessians are
+block-tridiagonal under the time-interleaved variable permutation
+z_t = (s_t, u_t, d_t): every constraint row couples variables at most one
+step apart (dynamics t->t+1, acceleration t->t+1, obstacle rows s_{t+1}
+with d_t; reference anchor: ECOS' sparse KKT factorization is what made
+the reference's 63-var problem cheap, /root/reference/neupan/blocks/
+nrmp.py:144).  A block-tridiagonal Cholesky is O(T b^3) instead of
+O((T b)^3), which is the asymptotic win for long horizons (SURVEY.md par.7
+step 3).
+
+On TPU, the trade is sequential-small-ops vs one big batched factorization:
+the scan runs T+1 dependent steps of (B, b, b) cholesky/triangular ops
+where XLA's generic path runs one (B, n, n) Cholesky + triangular solve.
+``scripts/bench_banded.py`` records the measured crossover (committed as
+BENCH_COMPONENTS.json); the dense path stays the default where it wins.
+
+API works on the PERMUTED representation: callers supply a permutation
+(see ``nrmp_permutation``) mapping solver order -> interleaved order.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def nrmp_permutation(T: int, no_obs: bool = False) -> np.ndarray:
+    """Permutation p with x_interleaved = x_solver[p].
+
+    Solver order: s (3(T+1)), u (2T), d (T).  Interleaved order:
+    (s_t, u_t, d_t) for t = 0..T-1 then s_T padded to a full block.
+    Returns indices of length n = 6T + 3 (or 5T + 3 without d).
+    """
+    off_u = 3 * (T + 1)
+    off_d = off_u + 2 * T
+    idx = []
+    for t in range(T):
+        idx.extend(range(3 * t, 3 * t + 3))
+        idx.extend(range(off_u + 2 * t, off_u + 2 * t + 2))
+        if not no_obs:
+            idx.append(off_d + t)
+    idx.extend(range(3 * T, 3 * T + 3))
+    return np.asarray(idx, dtype=np.int32)
+
+
+class BTDFactor(NamedTuple):
+    L_diag: jnp.ndarray   # (nb, b, b) lower-triangular Cholesky blocks
+    L_off: jnp.ndarray    # (nb-1, b, b) sub-diagonal blocks
+
+
+def _blocks_from_dense(Mp: jnp.ndarray, b: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Extract (diag, sub-diag) block sequences from a permuted dense SPD
+    matrix, zero-padding the trailing partial block (identity on padding)."""
+    n = Mp.shape[-1]
+    nb = -(-n // b)
+    pad = nb * b - n
+    if pad:
+        Mp = jnp.pad(Mp, ((0, pad), (0, pad)))
+        Mp = Mp.at[jnp.arange(n, nb * b), jnp.arange(n, nb * b)].set(1.0)
+    D = jnp.stack([Mp[i * b:(i + 1) * b, i * b:(i + 1) * b]
+                   for i in range(nb)])
+    E = jnp.stack([Mp[(i + 1) * b:(i + 2) * b, i * b:(i + 1) * b]
+                   for i in range(nb - 1)])
+    return D, E
+
+
+def btd_cholesky(D: jnp.ndarray, E: jnp.ndarray) -> BTDFactor:
+    """Blocked Cholesky M = L L' of a block-tridiagonal SPD matrix.
+
+    D: (nb, b, b) diagonal blocks, E: (nb-1, b, b) sub-diagonal blocks.
+    L_0 = chol(D_0); B_t = E_t L_{t-1}^{-T}; L_t = chol(D_t - B_t B_t').
+    """
+    b = D.shape[-1]
+    eye_ridge = 1e-7 * jnp.eye(b, dtype=D.dtype)
+
+    L0 = jnp.linalg.cholesky(D[0] + eye_ridge)
+
+    def step(L_prev, inp):
+        D_t, E_t = inp
+        # B_t = E_t L_prev^{-T}  <=>  solve L_prev B_t' = E_t'
+        Bt = jax.scipy.linalg.solve_triangular(
+            L_prev, E_t.T, lower=True).T
+        L_t = jnp.linalg.cholesky(D_t - Bt @ Bt.T + eye_ridge)
+        return L_t, (L_t, Bt)
+
+    _, (L_rest, B_all) = jax.lax.scan(step, L0, (D[1:], E))
+    L_diag = jnp.concatenate([L0[None], L_rest], axis=0)
+    return BTDFactor(L_diag=L_diag, L_off=B_all)
+
+
+def btd_solve(fac: BTDFactor, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Solve M x = rhs given the block-tridiagonal Cholesky factor.
+
+    rhs: (nb*b,) or (nb*b, k).  Forward substitution L y = r, then
+    backward L' x = y, each a T-step scan of (b, b) triangular solves.
+    """
+    nb, b, _ = fac.L_diag.shape
+    squeeze = rhs.ndim == 1
+    R = rhs.reshape(nb, b, -1)
+
+    def fwd(y_prev, inp):
+        L_t, B_t, r_t = inp
+        y_t = jax.scipy.linalg.solve_triangular(
+            L_t, r_t - B_t @ y_prev, lower=True)
+        return y_t, y_t
+
+    y0 = jax.scipy.linalg.solve_triangular(fac.L_diag[0], R[0], lower=True)
+    _, y_rest = jax.lax.scan(fwd, y0, (fac.L_diag[1:], fac.L_off, R[1:]))
+    Y = jnp.concatenate([y0[None], y_rest], axis=0)
+
+    def bwd(x_next, inp):
+        L_t, B_next, y_t = inp
+        x_t = jax.scipy.linalg.solve_triangular(
+            L_t.T, y_t - B_next.T @ x_next, lower=False)
+        return x_t, x_t
+
+    x_last = jax.scipy.linalg.solve_triangular(
+        fac.L_diag[-1].T, Y[-1], lower=False)
+    _, x_rest = jax.lax.scan(
+        bwd, x_last,
+        (fac.L_diag[:-1][::-1], fac.L_off[::-1], Y[:-1][::-1]))
+    X = jnp.concatenate([x_rest[::-1], x_last[None]], axis=0)
+    out = X.reshape(nb * b, -1)
+    return out[:, 0] if squeeze else out
+
+
+def btd_spd_inverse(M: jnp.ndarray, perm: jnp.ndarray, b: int) -> jnp.ndarray:
+    """Dense inverse of a permuted-block-tridiagonal SPD matrix.
+
+    M is in SOLVER order; perm maps solver->interleaved.  The inverse is
+    materialized (the ADMM scan body wants a dense matvec) by solving
+    against the identity through the banded factorization, then
+    un-permuting.  Jacobi pre-scaling matches _spd_inverse's conditioning.
+    """
+    n = M.shape[-1]
+    dj = jax.lax.rsqrt(jnp.abs(jnp.diagonal(M)) + 1e-30)
+    Mt = M * dj[:, None] * dj[None, :]
+    Mp = Mt[jnp.ix_(perm, perm)]          # interleaved coordinates
+    D, E = _blocks_from_dense(Mp, b)
+    fac = btd_cholesky(D, E)
+    nb = D.shape[0]
+    eye = jnp.eye(nb * b, dtype=M.dtype)
+    Xp = btd_solve(fac, eye)              # Mp^{-1} (padded)
+    inv_perm = jnp.argsort(perm)
+    X = Xp[jnp.ix_(inv_perm, inv_perm)]   # back to solver coordinates
+    return X * dj[:, None] * dj[None, :]

@@ -283,74 +283,6 @@ def build_qp(
     return QPData(P_diag=P_diag, q=q_lin, A=A, l=l, u=u, soft=soft)
 
 
-class NRMPBlocks(NamedTuple):
-    """The scenario-specific content of the constraint matrix A.
-
-    A is (m, n) dense but carries only ~18T + 2TK scenario floats: the
-    dynamics linearization blocks and the obstacle normals.  The ADMM scan
-    body re-reads A twice per iteration, so at 400 iterations the dense
-    form is the solver's dominant HBM traffic — these blocks plus the
-    static pattern reproduce A@x / A'y in O(T(9+2K)) loads instead of
-    O(m n).
-    """
-
-    A_dyn: jnp.ndarray   # (T, 3, 3)
-    B_dyn: jnp.ndarray   # (T, 3, 2)
-    fa: jnp.ndarray      # (T, K, 2)
-
-
-def make_structured_ops(spec: NRMPSpec):
-    """(matvec, rmatvec) for the UNSCALED NRMP constraint matrix.
-
-    Row order must mirror ``_static_template``: dynamics (3T), init (3),
-    acceleration (2(T-1)), speed (2T), d-box (T), obstacle (T*K).
-    Shapes are unbatched — vmap for batches.
-    """
-    T, K = spec.T, spec.K
-    if spec.no_obs:
-        raise ValueError("structured ops cover the obstacle problem only")
-
-    def split_x(x):
-        s = x[: spec.n_s].reshape(T + 1, 3)
-        u = x[spec.off_u: spec.off_u + spec.n_u].reshape(T, 2)
-        d = x[spec.off_d: spec.off_d + T]
-        return s, u, d
-
-    def matvec(blocks: NRMPBlocks, x):
-        s, u, d = split_x(x)
-        dyn = (jnp.einsum("tij,tj->ti", blocks.A_dyn, s[:-1]) - s[1:]
-               + jnp.einsum("tij,tj->ti", blocks.B_dyn, u))
-        acc = u[1:] - u[:-1]
-        obs = jnp.einsum("tki,ti->tk", blocks.fa, s[1:, :2]) - d[:, None]
-        return jnp.concatenate([
-            dyn.reshape(-1), s[0], acc.reshape(-1), u.reshape(-1), d,
-            obs.reshape(-1),
-        ])
-
-    def rmatvec(blocks: NRMPBlocks, y):
-        y_dyn = y[: 3 * T].reshape(T, 3)
-        y_init = y[spec.r_init: spec.r_init + 3]
-        y_acc = y[spec.r_acc: spec.r_acc + 2 * (T - 1)].reshape(T - 1, 2)
-        y_spd = y[spec.r_spd: spec.r_spd + 2 * T].reshape(T, 2)
-        y_d = y[spec.r_d: spec.r_d + T]
-        y_obs = y[spec.r_obs:].reshape(T, K)
-
-        s = jnp.zeros((T + 1, 3), y.dtype)
-        s = s.at[:-1].add(jnp.einsum("tij,ti->tj", blocks.A_dyn, y_dyn))
-        s = s.at[1:].add(-y_dyn)
-        s = s.at[0].add(y_init)
-        s = s.at[1:, :2].add(jnp.einsum("tki,tk->ti", blocks.fa, y_obs))
-
-        u = jnp.einsum("tij,ti->tj", blocks.B_dyn, y_dyn) + y_spd
-        u = u.at[1:].add(y_acc)
-        u = u.at[:-1].add(-y_acc)
-
-        d = y_d - jnp.sum(y_obs, axis=1)
-        return jnp.concatenate([s.reshape(-1), u.reshape(-1), d])
-
-    return matvec, rmatvec
-
-
 def condensation(spec: NRMPSpec, A_dyn: jnp.ndarray, B_dyn: jnp.ndarray,
                  C_dyn: jnp.ndarray, s0: jnp.ndarray):
     """Analytic nullspace basis of the equality block (dynamics + init).

@@ -26,12 +26,10 @@ import jax.numpy as jnp
 from neupan_tpu.ops.dune import DuneOutput, dune_forward, generate_point_flow
 from neupan_tpu.ops.nrmp import (
     AdjustParams,
-    NRMPBlocks,
     NRMPSpec,
     build_qp,
     coefficients_from_dune,
     condensation,
-    make_structured_ops,
     unpack_solution,
 )
 from neupan_tpu.ops.qp import ADMMConfig, solve_qp
@@ -190,8 +188,6 @@ def _pan_forward_impl(
     use_pallas = spec.use_dune_pallas()
     vertices = (jnp.asarray(robot.vertices, dtype)
                 if spec.dune_select == "exact" else None)
-    mv_fns = (make_structured_ops(spec.nrmp)
-              if spec.admm.structured_iters else None)
     admm = _admm_with_elim(spec)
     for _ in range(spec.iter_num):
         # --- DUNE ---------------------------------------------------------
@@ -206,11 +202,8 @@ def _pan_forward_impl(
         A_dyn, B_dyn, C_dyn = robot.linearize(nom_s, nom_u)
         qp = build_qp(spec.nrmp, adjust, nom_s, nom_u, ref_s, ref_us,
                       A_dyn, B_dyn, C_dyn, fa, fb)
-        struct = (None if mv_fns is None else
-                  (mv_fns, NRMPBlocks(A_dyn, B_dyn, fa)))
         elim = condensation(spec.nrmp, A_dyn, B_dyn, C_dyn, nom_s[:, 0])
-        sol = solve_qp(qp, admm, cur.x_warm, cur.y_warm, struct=struct,
-                       elim=elim)
+        sol = solve_qp(qp, admm, cur.x_warm, cur.y_warm, elim=elim)
         s_new, u_new, d_new = unpack_solution(spec.nrmp, sol.x)
 
         # --- convergence test (computed with the *new* iterates) ----------

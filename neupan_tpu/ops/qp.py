@@ -94,55 +94,19 @@ class ADMMConfig:
     # hard-constraint violation at the f32 level (~2e-4 absolute on NRMP
     # scales); 3 left ~1e-3 beta-penalty error on hinge-active instances.
     refine_steps: int = 5
-    # recover polish duals by least squares against stationarity (the
-    # beta-difference-quotient duals carry O(beta*eps) ~ 1e-2 noise).
-    # ON by default since round 3: the polish CANDIDATE SELECTION and the
-    # add/drop re-guessing both rank points by KKT error, and with quotient
-    # duals that ranking is noise on exactly the hinge-active instances
-    # polish exists for — measured on 197 recorded corridor instances
-    # (scripts/exp_solver_lab.py), accurate duals cut the fraction of
-    # budget-sensitive actions (|du0|>1e-3 between 150- and 300-iteration
-    # solves) from 0.16 to 0.05 together with the NRMPSpec.reg_u/reg_d
-    # regularization.  Cost: one (m, m) factorization per candidate.
-    dual_recovery: bool = True
     eps_act: float = 1e-5  # dual magnitude that marks a constraint active
-    # SPD inverse path for the ADMM normal matrix and the polish Hessian:
-    # "chol" (default): Jacobi scaling + small ridge + batched Cholesky —
-    #   pivot-free, constant TPU timing, accurate to the ridge level (the
-    #   polish refinement removes the ridge error geometrically).
-    # "lu": pivoted LU via jnp.linalg.inv — most accurate, but measured
-    #   ~100x slower on TPU for real high-condition polish Hessians than
-    #   for random same-shape inputs (data-dependent slow path).
-    # "ns": MXU-matmul Newton-Schulz, the original path; f32 NS provably
-    #   cannot converge once lambda_min/lambda_ub < f32 eps, which real
-    #   polish Hessians hit at cond ~1e7.  History: NS was chosen when the
-    #   problems were 163x163 with slack variables and XLA's batched
-    #   factorizations measured ~30 ms; at 63x63 factorizations win.
-    inverse_method: str = "chol"
-    # Newton-Schulz iterations for inverse_method="ns".  Notes from the NS
-    # era (still relevant when using "ns"): the flagship bench batch floors
-    # by 16 iterations, but stiff corridor instances need 40, and the NRMP
-    # optimum is *degenerate* — actions move >1e-3 under ANY solver
-    # perturbation (including raising ns to 64), so goldens pin the exact
-    # configuration.  Mixed-precision NS (bf16 front + f32 tail) diverges.
-    ns_iters: int = 40
-    # polish equality-penalty weight (primal active-set solve): larger ->
-    # more accurate single solve but worse conditioning; the iterative
-    # refinement loop removes the O(1/beta) penalty error geometrically.
-    polish_beta: float = 1e2
     # total polish rounds (EQP solves): round 0 guesses the active set from
     # the ADMM duals+values; rounds 1.. re-identify BY VALUE around the best
     # point tried with a shrinking tolerance (see _polish).  4 rounds
     # converge the recorded corridor library's hinge-active instances that
     # the old dual-guess + add/drop scheme left at KKT ~1e-1.
     polish_rounds: int = 4
-    # CG iterations for the dual Schur solve inside _polish_candidate
-    # (0 = dense (m, m) factorization, the default).  CG was tried as the
-    # cheap path (S is the identity outside the active block), but the
-    # active block's spectrum spans ~1e-4..10 (soft-GN stiffness), so 20
-    # unpreconditioned iterations leave KKT ~0.3 on the library — keep 0
-    # unless combined with a proper preconditioner.
-    schur_cg_iters: int = 0
+    # Ruiz equilibration sweeps before the ADMM phases.  10 = the OSQP
+    # default.  5 measured library-equivalent (kkt p90 4.3e-3 both) but
+    # FAILED the closed-loop contract (one corridor step at viol 2e-2 vs
+    # 3e-4) — the recorded library under-covers the scaling-sensitive
+    # instances, so the knob stays at 10.
+    ruiz_iters: int = 10
     # Equality-elimination (condensed) EQP path.  When set (and the caller
     # passes the elimination basis via solve_qp's `elim`), the problem's
     # rows MUST be laid out as [0, elim_n_eq) equality rows,
@@ -155,80 +119,32 @@ class ADMMConfig:
     # ~14x fewer factorization flops, the dominant polish cost on TPU.
     elim_n_eq: Optional[int] = None
     elim_n_hard: Optional[int] = None
-    # Use the caller-provided structured matvec (factored constraint
-    # blocks) inside the ADMM scan body instead of the dense (m, n) A.
-    # The factored form carries ~20x fewer bytes than the dense A, but on
-    # the real chip (TPU v5 lite, B=512 flagship bench) it measured a 1.8x
-    # END-TO-END REGRESSION (2465 vs 4409 solves/s): the small gathers/
-    # segment products lower to many VPU ops while the dense form is one
-    # MXU batched matmul that never leaves VMEM at these sizes (m=114,
-    # n=63).  Default OFF; callers must also pass `struct=` to solve_qp
-    # for it to take effect.  Kept as an option for long-horizon problems
-    # where the dense A stops fitting VMEM.
-    structured_iters: bool = False
-    # per-row rho scaling exponent for soft (penalty) rows:
-    # rho_i = base_rho^(1-p) * soft_i^p.  The z-prox damps the dual update
-    # of a soft row by rho/(rho+soft), which looks like it should stall —
-    # but measured on REAL trained corridor instances (scripts/
-    # exp_control_accuracy.py, /tmp/bad_qp_step60 diagnosis) p=0 converges
-    # to kkt ~3e-4 by 400 iterations while p=0.5 stalls at kkt ~0.9.  The
-    # opposite held on the synthetic random-coefficient bench batch (p=0.5
-    # cut worst-case kkt 3.2 -> 0.4), whose instances are degenerate
-    # (untrained encoder -> near-identical penalty rows).  Real instances
-    # win: default 0.  Knob kept for experimentation.
-    soft_rho_power: float = 0.0
+    # Retired knobs (Newton-Schulz / LU inverses, per-row soft rho, the
+    # structured scan matvec, the CG Schur solve, the penalty-form EQP):
+    # every one lost a measured bake-off on real hardware or real
+    # instances — the history and numbers live in docs/SOLVER_NOTES.md.
 
 
 def _spd_inverse(M: jnp.ndarray, cfg: "ADMMConfig") -> jnp.ndarray:
-    """Inverse of an SPD matrix, Jacobi-scaled for conditioning.
+    """Inverse of an SPD matrix: Jacobi scaling + ridge + batched Cholesky.
 
-    See ADMMConfig.inverse_method for the trade-offs ("chol" default).
-    """
-    if cfg.inverse_method == "ns":
-        return _ns_spd_inverse(M, cfg.ns_iters)
-    n = M.shape[-1]
-    dj = jax.lax.rsqrt(jnp.abs(jnp.diagonal(M, axis1=-2, axis2=-1)) + 1e-30)
-    Mt = M * dj[..., :, None] * dj[..., None, :]
-    eye = jnp.eye(n, dtype=M.dtype)
-    if cfg.inverse_method == "lu":
-        X = jnp.linalg.inv(Mt)
-    else:  # "chol" (default): SPD-native, pivot-free — constant TPU timing.
-        # jnp.linalg.inv's pivoted LU measured ~100x slower on TPU for the
-        # REAL high-condition polish Hessians than for random matrices of
-        # the same shape (data-dependent slow path); Cholesky has no such
-        # cliff.  The ridge (1e-6 on the unit Jacobi diagonal) caps the
-        # factorization condition at ~1e6 so f32 Cholesky cannot break
-        # down; the resulting O(ridge*cond) inverse error is yet another
-        # regularizer that the polish refinement removes geometrically.
-        Mt = Mt + 1e-7 * eye
-        ch = jnp.linalg.cholesky(Mt)
-        X = jax.scipy.linalg.cho_solve(
-            (ch, True), jnp.broadcast_to(eye, Mt.shape))
-    return X * dj[..., :, None] * dj[..., None, :]
-
-
-def _ns_spd_inverse(M: jnp.ndarray, iters: int) -> jnp.ndarray:
-    """Inverse of an SPD matrix by Jacobi-scaled Newton-Schulz iteration.
-
-    TPU-first replacement for cho_factor + cho_solve(eye): the iteration
-    X <- X (2I - M X) is two (n, n) matmuls per step, which batch and tile
-    onto the MXU, instead of XLA's sequential blocked Cholesky.  Safe init
-    for SPD: after symmetric Jacobi scaling (unit diagonal), lambda_max is
-    bounded by the max absolute row sum, so X0 = I / rowsum_max gives
-    ||I - M X0||_2 < 1 and monotone quadratic convergence.
+    SPD-native and pivot-free — constant TPU timing.  (jnp.linalg.inv's
+    pivoted LU measured ~100x slower on TPU for REAL high-condition polish
+    Hessians than for random matrices of the same shape, a data-dependent
+    slow path; Newton-Schulz cannot converge in f32 past cond ~1e7 — both
+    retired, docs/SOLVER_NOTES.md.)  The ridge (1e-7 on the unit Jacobi
+    diagonal) caps the factorization condition so f32 Cholesky cannot
+    break down; the resulting O(ridge*cond) inverse error is removed
+    geometrically by the polish refinement.
     """
     n = M.shape[-1]
     dj = jax.lax.rsqrt(jnp.abs(jnp.diagonal(M, axis1=-2, axis2=-1)) + 1e-30)
     Mt = M * dj[..., :, None] * dj[..., None, :]
-    linf = jnp.max(jnp.sum(jnp.abs(Mt), axis=-1), axis=-1)
     eye = jnp.eye(n, dtype=M.dtype)
-    X = eye / linf[..., None, None]
-    eye2 = 2.0 * eye
-
-    def body(X, _):
-        return X @ (eye2 - Mt @ X), None
-
-    X, _ = jax.lax.scan(body, X, None, length=iters)
+    Mt = Mt + 1e-7 * eye
+    ch = jnp.linalg.cholesky(Mt)
+    X = jax.scipy.linalg.cho_solve(
+        (ch, True), jnp.broadcast_to(eye, Mt.shape))
     return X * dj[..., :, None] * dj[..., None, :]
 
 
@@ -281,21 +197,17 @@ def _ruiz_equilibrate(qp: QPData, iters: int = 10):
     return QPData(P, q, A, E * l, E * u, soft), D, E, c
 
 
-def _admm_core(qp: QPData, cfg: ADMMConfig, x0: jnp.ndarray, y0: jnp.ndarray,
-               struct=None):
+def _admm_core(qp: QPData, cfg: ADMMConfig, x0: jnp.ndarray, y0: jnp.ndarray):
     """Run fixed-iteration ADMM for one (unbatched) QP. vmap for batches.
 
     The problem is Ruiz-equilibrated first (fixed rho works reliably on the
     scaled problem, as in OSQP), then two scan phases run with one
-    residual-balancing rho update and re-factorization in between.
-
-    ``struct`` (optional) = ((matvec, rmatvec), blocks): a factored form of
-    the UNSCALED constraint matrix.  When given (and cfg.structured_iters),
-    the scan body computes A-products through it — the equilibration scales
-    D/E wrap around the unscaled operator — while the dense A is still used
-    for the one-time normal-matrix formation and final residuals.
+    residual-balancing rho update and re-factorization in between.  The
+    scan body is dense batched matmuls by design: a structured/factored
+    constraint operator measured a 1.8x end-to-end regression on the real
+    chip (docs/SOLVER_NOTES.md).
     """
-    qp_s, D, E, c = _ruiz_equilibrate(qp)
+    qp_s, D, E, c = _ruiz_equilibrate(qp, cfg.ruiz_iters)
     P, q, A = qp_s.P_diag, qp_s.q, qp_s.A
     l, u = _clip_bounds(qp_s.l, qp_s.u)
     n = P.shape[0]
@@ -303,20 +215,11 @@ def _admm_core(qp: QPData, cfg: ADMMConfig, x0: jnp.ndarray, y0: jnp.ndarray,
     soft = qp_s.soft
     is_soft = None if soft is None else soft > 0.0
 
-    if struct is not None and cfg.structured_iters:
-        (s_mv, s_rmv), blocks = struct
+    def Amv(x):
+        return A @ x
 
-        def Amv(x):
-            return E * s_mv(blocks, D * x)
-
-        def Armv(y):
-            return D * s_rmv(blocks, E * y)
-    else:
-        def Amv(x):
-            return A @ x
-
-        def Armv(y):
-            return A.T @ y
+    def Armv(y):
+        return A.T @ y
 
     # warm start in scaled coordinates: x_bar = D^{-1} x, y_bar = c E^{-1} y
     x0 = x0 / D
@@ -372,10 +275,6 @@ def _admm_core(qp: QPData, cfg: ADMMConfig, x0: jnp.ndarray, y0: jnp.ndarray,
     x, z, y = x0, z0, y0
     for k in range(n_phases):
         rho = jnp.where(is_eq, base_rho * cfg.rho_eq_scale, base_rho)
-        if soft is not None and cfg.soft_rho_power > 0.0:
-            p = cfg.soft_rho_power
-            rho_soft = base_rho ** (1.0 - p) * jnp.maximum(soft, 1e-12) ** p
-            rho = jnp.where(is_soft, jnp.maximum(rho_soft, base_rho), rho)
         iters = per_phase if k < n_phases - 1 else cfg.iters - per_phase * (n_phases - 1)
         x, z, y = phase(x, z, y, rho, iters)
         if k < n_phases - 1:
@@ -495,36 +394,11 @@ def _polish_candidate(qp: QPData, cfg: ADMMConfig, low_act, up_act,
 
     HDAt = Hp_inv @ DAn.T                        # (n, m)
 
-    if cfg.schur_cg_iters > 0:
-        # Matrix-free CG on S — S is the identity outside the ~|active|-
-        # dimensional block (diag(1-d) decoupling), so CG converges in
-        # O(|active|) iterations regardless of m, and each iteration is
-        # three small matvecs (~one ADMM iteration's work) instead of the
-        # (m, m) factorization, the single most expensive op in the solve.
-        def S_mv(v):
-            return DAn @ (Hp_inv @ (DAn.T @ v)) + ((1.0 - d) + 1e-6) * v
+    S = DAn @ HDAt + jnp.diag((1.0 - d) + 1e-6)  # (m, m) SPD
+    S_inv = _spd_inverse(S, cfg)
 
-        def S_solve(b):
-            def body(carry, _):
-                yv, r, p, rs_old = carry
-                Ap = S_mv(p)
-                alpha = rs_old / jnp.maximum(jnp.vdot(p, Ap), 1e-30)
-                yv = yv + alpha * p
-                r = r - alpha * Ap
-                rs_new = jnp.vdot(r, r)
-                p = r + (rs_new / jnp.maximum(rs_old, 1e-30)) * p
-                return (yv, r, p, rs_new), None
-            y0 = jnp.zeros_like(b)
-            (yv, _, _, _), _ = jax.lax.scan(
-                body, (y0, b, b, jnp.vdot(b, b)), None,
-                length=cfg.schur_cg_iters)
-            return yv
-    else:
-        S = DAn @ HDAt + jnp.diag((1.0 - d) + 1e-6)  # (m, m) SPD
-        S_inv = _spd_inverse(S, cfg)
-
-        def S_solve(b):
-            return S_inv @ b
+    def S_solve(b):
+        return S_inv @ b
 
     def kkt_solve(r1, r2n):
         """Exact solve of  Hp dx + DAn' dyn = r1 ; DAn dx + (1-d) dyn = r2n."""
@@ -853,12 +727,12 @@ def _snap_variable_bounds(qp: QPData, x: jnp.ndarray) -> jnp.ndarray:
 
 def _solve_single(qp: QPData, cfg: ADMMConfig,
                   x0: jnp.ndarray, y0: jnp.ndarray,
-                  struct=None, elim=None) -> QPSolution:
+                  elim=None) -> QPSolution:
     # The solver's accuracy contract (<= 1e-3 control error vs the reference
     # solver) requires exact f32 matmuls: block bf16 fast paths (TPU MXU
     # default, CPU AMX) for everything inside the solve.
     with jax.default_matmul_precision("highest"):
-        x, y, z, rp, rd = _admm_core(qp, cfg, x0, y0, struct)
+        x, y, z, rp, rd = _admm_core(qp, cfg, x0, y0)
         if cfg.polish:
             x, y, _, _, _ = _polish(qp, cfg, x, y, elim)
             x = _snap_variable_bounds(qp, x)
@@ -881,16 +755,14 @@ def _solve_single(qp: QPData, cfg: ADMMConfig,
 def solve_qp(qp: QPData, cfg: ADMMConfig,
              x0: Optional[jnp.ndarray] = None,
              y0: Optional[jnp.ndarray] = None,
-             struct=None, elim=None) -> QPSolution:
+             elim=None) -> QPSolution:
     """Solve one QP (unbatched).  Differentiable w.r.t. qp fields.
 
-    ``struct`` = ((matvec, rmatvec), blocks) optionally provides a factored
-    constraint operator for the ADMM scan body (see _admm_core).
     ``elim`` = (Z, xp) optionally provides the equality-elimination basis
     for the condensed polish path (requires cfg.elim_n_eq/elim_n_hard; see
     ADMMConfig and ops/nrmp.py:condensation).  Gradients always flow
-    through the dense qp fields (the blocks/basis duplicate information
-    already inside qp, so they carry zero cotangent).
+    through the dense qp fields (the basis duplicates information already
+    inside qp, so it carries zero cotangent).
 
     For batches, vmap this function (see ``solve_qp_batch``).
     """
@@ -899,46 +771,38 @@ def solve_qp(qp: QPData, cfg: ADMMConfig,
         x0 = jnp.zeros((n,), dtype=qp.P_diag.dtype)
     if y0 is None:
         y0 = jnp.zeros((m,), dtype=qp.P_diag.dtype)
-    if struct is None:
-        mv_fns, blocks = None, None
-    else:
-        mv_fns, blocks = struct
-    return _solve_qp_vjp(qp, cfg, mv_fns, x0, y0, blocks, elim)
+    return _solve_qp_vjp(qp, cfg, x0, y0, elim)
 
 
 import functools
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _solve_qp_vjp(qp: QPData, cfg: ADMMConfig, mv_fns,
-                  x0: jnp.ndarray, y0: jnp.ndarray, blocks,
-                  elim) -> QPSolution:
-    struct = None if mv_fns is None else (mv_fns, blocks)
-    return _solve_single(qp, cfg, x0, y0, struct, elim)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _solve_qp_vjp(qp: QPData, cfg: ADMMConfig,
+                  x0: jnp.ndarray, y0: jnp.ndarray, elim) -> QPSolution:
+    return _solve_single(qp, cfg, x0, y0, elim)
 
 
-def _solve_fwd(qp, cfg, mv_fns, x0, y0, blocks, elim):
-    struct = None if mv_fns is None else (mv_fns, blocks)
-    sol = _solve_single(qp, cfg, x0, y0, struct, elim)
-    return sol, (qp, sol.x, sol.y, blocks, elim)
+def _solve_fwd(qp, cfg, x0, y0, elim):
+    sol = _solve_single(qp, cfg, x0, y0, elim)
+    return sol, (qp, sol.x, sol.y, elim)
 
 
-def _solve_bwd(cfg, mv_fns, res, g):
+def _solve_bwd(cfg, res, g):
     """Implicit differentiation through the active-set KKT conditions.
 
     At the solution: P x + q + A' y = 0 and, for active rows, A_i x = b_i.
     Differentiating gives the adjoint system K0' [dx; dnu] = [g_x; 0]; the
     parameter gradients follow the OptNet formulas restricted to diagonal P.
-    The structured blocks replicate values already present in qp.A, so the
-    full parameter gradient flows through dqp alone; the blocks receive
+    The elimination basis replicates information already present in qp, so
+    the full parameter gradient flows through dqp alone; the basis receives
     zero cotangent (anything else would double-count).
     """
-    qp, x, y, blocks, elim = res
+    qp, x, y, elim = res
     with jax.default_matmul_precision("highest"):
         dqp, dx0, dy0 = _solve_bwd_impl(cfg, qp, x, y, g)
-    dblocks = jax.tree.map(jnp.zeros_like, blocks)
     delim = jax.tree.map(jnp.zeros_like, elim)
-    return (dqp, dx0, dy0, dblocks, delim)
+    return (dqp, dx0, dy0, delim)
 
 
 def _solve_bwd_impl(cfg, qp, x, y, g):

@@ -198,10 +198,9 @@ def main():
     ok = max(gaps) <= 1e-4 and max(viols) <= 2e-3
     print(("PASS" if ok else "FAIL") +
           ": optimality contract = relative objective gap <= 1e-4 vs f64 "
-          "oracle AND hard feasibility <= 2e-3 (OSQP-default-eps class; "
-          "the high-accuracy mode admm={inverse_method: lu, dual_recovery:"
-          " true} reaches ~2e-4) on every checked step (action distance is "
-          "reported but not asserted: NRMP optima are near-degenerate)")
+          "oracle AND hard feasibility <= 2e-3 on every checked step "
+          "(action distance is reported but not asserted: NRMP optima can "
+          "sit on shallow faces)")
 
 
 if __name__ == "__main__":

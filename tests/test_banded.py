@@ -1,0 +1,81 @@
+"""Block-tridiagonal SPD factorization (ops/banded.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neupan_tpu.ops import banded
+from neupan_tpu.ops import qp as qp_mod
+from neupan_tpu.ops.nrmp import AdjustParams, NRMPSpec, build_qp
+from neupan_tpu.ops.qp import ADMMConfig
+from neupan_tpu.robot import Robot
+
+
+def make_M(T, seed=0):
+    """A real NRMP normal matrix at horizon T."""
+    rng = np.random.default_rng(seed)
+    robot = Robot.create(receding=T, step_time=0.1, kinematics="diff",
+                         max_speed=[8, 1], max_acce=[8, 3], length=1.6,
+                         width=2.0)
+    spec = NRMPSpec(T=T, K=5, kinematics="diff",
+                    speed_bound=tuple(robot.speed_bound[:, 0]),
+                    acce_bound=tuple(robot.acce_bound[:, 0]))
+    adjust = AdjustParams(q_s=jnp.asarray(1.0), p_u=jnp.asarray(1.0),
+                          eta=jnp.asarray(10.0), d_max=jnp.asarray(1.0),
+                          d_min=jnp.asarray(0.1))
+    nom_u = jnp.asarray(rng.uniform(-0.5, 0.5, (2, T)), jnp.float32)
+    nom_s = robot.rollout(jnp.zeros(3), nom_u)
+    A_dyn, B_dyn, C_dyn = robot.linearize(nom_s, nom_u)
+    fa = jnp.asarray(rng.normal(size=(T, 5, 2)) * 0.3, jnp.float32)
+    fb = jnp.asarray(rng.normal(size=(T, 5)) - 1.0, jnp.float32)
+    qp = build_qp(spec, adjust, nom_s, nom_u, nom_s,
+                  jnp.ones((T,), jnp.float32), A_dyn, B_dyn, C_dyn, fa, fb)
+    cfg = ADMMConfig()
+    rho = qp_mod._rho_vec(qp.l, qp.u, cfg)
+    return jnp.diag(qp.P_diag + cfg.sigma) + (qp.A.T * rho) @ qp.A
+
+
+def test_nrmp_normal_matrix_is_block_tridiagonal():
+    """Under the interleaved permutation M has zero blocks beyond +-1."""
+    T = 6
+    M = np.asarray(make_M(T))
+    perm = banded.nrmp_permutation(T)
+    Mp = M[np.ix_(perm, perm)]
+    b = 6
+    nb = -(-Mp.shape[0] // b)
+    for i in range(nb):
+        for j in range(nb):
+            if abs(i - j) > 1:
+                blk = Mp[i * b:(i + 1) * b, j * b:(j + 1) * b]
+                assert np.abs(blk).max() == 0.0, (i, j)
+
+
+def test_btd_inverse_matches_dense():
+    for T in (4, 10):
+        M = make_M(T, seed=T)
+        perm = jnp.asarray(banded.nrmp_permutation(T))
+        with jax.default_matmul_precision("highest"):
+            Xb = banded.btd_spd_inverse(M, perm, 6)
+            Xd = qp_mod._spd_inverse(M, ADMMConfig())
+            n = M.shape[0]
+            rb = jnp.max(jnp.abs(M @ Xb - jnp.eye(n)))
+            rd = jnp.max(jnp.abs(M @ Xd - jnp.eye(n)))
+        # both are inverses to the f32 level on a matrix with entries up to
+        # rho_eq_scale*|A|^2 ~ 1e4; banded must be within ~30x of dense
+        scale = float(jnp.max(jnp.abs(M)))
+        assert float(rb) / scale < 1e-4
+        assert float(rb) < 30 * max(float(rd), 1e-6)
+
+
+def test_btd_solve_single_rhs():
+    T = 5
+    M = make_M(T, seed=2)
+    perm = jnp.asarray(banded.nrmp_permutation(T))
+    n = M.shape[0]
+    rng = np.random.default_rng(0)
+    rhs = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        Minv = banded.btd_spd_inverse(M, perm, 6)
+        x = Minv @ rhs
+        resid = jnp.max(jnp.abs(M @ x - rhs))
+    assert float(resid) / float(jnp.max(jnp.abs(rhs))) < 1e-2

@@ -263,64 +263,3 @@ def test_vector_qs_weighting():
     np.testing.assert_allclose(P[2], 2 * 0.25 + spec.bk, rtol=1e-6)
 
 
-def test_structured_ops_match_dense_matvec():
-    """The factored constraint operator must reproduce A@x / A'y exactly."""
-    from neupan_tpu.ops.nrmp import NRMPBlocks, make_structured_ops
-
-    for seed, kin in ((0, "diff"), (1, "acker"), (2, "omni")):
-        (robot, spec, adjust, nom_s, nom_u, ref_s, ref_us,
-         A_dyn, B_dyn, C_dyn, fa, fb) = make_problem(seed=seed,
-                                                     kinematics=kin)
-        qp = build_qp(spec, adjust, jnp.asarray(nom_s, jnp.float32),
-                      jnp.asarray(nom_u, jnp.float32),
-                      jnp.asarray(ref_s, jnp.float32),
-                      jnp.asarray(ref_us, jnp.float32),
-                      A_dyn, B_dyn, C_dyn,
-                      jnp.asarray(fa, jnp.float32),
-                      jnp.asarray(fb, jnp.float32))
-        mv, rmv = make_structured_ops(spec)
-        blocks = NRMPBlocks(A_dyn, B_dyn, jnp.asarray(fa, jnp.float32))
-        rng = np.random.default_rng(seed + 10)
-        for _ in range(3):
-            x = jnp.asarray(rng.normal(size=(spec.n,)), jnp.float32)
-            y = jnp.asarray(rng.normal(size=(spec.m,)), jnp.float32)
-            np.testing.assert_allclose(np.asarray(mv(blocks, x)),
-                                       np.asarray(qp.A @ x),
-                                       rtol=1e-5, atol=1e-5)
-            np.testing.assert_allclose(np.asarray(rmv(blocks, y)),
-                                       np.asarray(qp.A.T @ y),
-                                       rtol=1e-5, atol=1e-5)
-
-
-def test_structured_solve_matches_dense_solve():
-    """solve_qp with the factored scan-body operator must agree with the
-    dense path to solver accuracy."""
-    from neupan_tpu.ops.nrmp import NRMPBlocks, make_structured_ops
-
-    (robot, spec, adjust, nom_s, nom_u, ref_s, ref_us,
-     A_dyn, B_dyn, C_dyn, fa, fb) = make_problem(seed=3)
-    qp = build_qp(spec, adjust, jnp.asarray(nom_s, jnp.float32),
-                  jnp.asarray(nom_u, jnp.float32),
-                  jnp.asarray(ref_s, jnp.float32),
-                  jnp.asarray(ref_us, jnp.float32),
-                  A_dyn, B_dyn, C_dyn,
-                  jnp.asarray(fa, jnp.float32),
-                  jnp.asarray(fb, jnp.float32))
-    mv_fns = make_structured_ops(spec)
-    blocks = NRMPBlocks(A_dyn, B_dyn, jnp.asarray(fa, jnp.float32))
-
-    # structured_iters defaults off (TPU-measured regression); force it on
-    # here so the structured scan-body path stays exercised.
-    cfg_s = dataclasses.replace(CFG, structured_iters=True)
-    sol_d = solve_qp(qp, CFG)
-    sol_s = solve_qp(qp, cfg_s, struct=(mv_fns, blocks))
-    np.testing.assert_allclose(np.asarray(sol_s.x), np.asarray(sol_d.x),
-                               atol=5e-4)
-    # both certify optimality at the same level
-    from neupan_tpu.ops.qp import kkt_error
-
-    e_d = float(kkt_error(qp.P_diag, qp.q, qp.A, qp.l, qp.u,
-                          sol_d.x, sol_d.y, qp.soft))
-    e_s = float(kkt_error(qp.P_diag, qp.q, qp.A, qp.l, qp.u,
-                          sol_s.x, sol_s.y, qp.soft))
-    assert e_s < 10 * max(e_d, 1e-4)
