@@ -24,9 +24,21 @@ MAX_STEPS = int(os.environ.get("LON_MAX_STEPS", "120"))
 
 
 def run_episode(planner, tuner, base):
+    """One closed-loop tuning episode; returns (losses, min_dists).
+
+    NOTE: the gradient step re-runs the planner forward inside
+    step_loss_and_grad (2x the planner cost per tick).  This is a
+    deliberate trade: the deployed planner step is a jitted
+    forward-only executable, and keeping it grad-free keeps the
+    non-tuning hot path at full speed; LON is an offline/episodic
+    tuning mode where the extra forward is irrelevant.  (The reference
+    instead keeps a grad graph on every forward and pays autograd
+    bookkeeping on ALL steps, reference example/LON/LON_corridor.py.)
+    """
     env = load_env(os.path.join(base, "env.yaml"), planner.robot)
     planner.reset()
     losses = []
+    min_dists = []
     for _ in range(MAX_STEPS):
         state = env.get_robot_state()
         scan = env.get_lidar_scan()
@@ -35,6 +47,8 @@ def run_episode(planner, tuner, base):
         action, info = planner(state, points)
         if info["arrive"]:
             break
+        if np.isfinite(planner.min_distance):
+            min_dists.append(float(planner.min_distance))
 
         # differentiate the distance loss wrt the adjust parameters and step
         if points is not None:
@@ -55,7 +69,7 @@ def run_episode(planner, tuner, base):
         env.step(action)
         if env.collided:
             break
-    return losses
+    return losses, min_dists
 
 
 def main(epochs=EPOCHS, save_path=None):
@@ -67,21 +81,30 @@ def main(epochs=EPOCHS, save_path=None):
     """
     base = os.path.join(REPO, "examples", "corridor", "diff")
     planner = NeuPan.init_from_yaml(os.path.join(base, "planner.yaml"))
+    # LON owns the stuck behavior through its loss (reference
+    # example/LON/LON_corridor.py:10-19); the planner's built-in deadlock
+    # escape would fight the tuner (its temporary eta/d_max boost leaks
+    # into the recorded trajectories), so it is off during tuning.
+    planner.stuck_enabled = False
     tuner = LONTuner(planner.adjust, lr=5e-3)
 
     records = []
     for epoch in range(epochs):
-        losses = run_episode(planner, tuner, base)
+        losses, min_dists = run_episode(planner, tuner, base)
         adj = planner.adjust
         rec = dict(epoch=epoch, steps=len(losses),
                    episode_loss=float(np.sum(losses)) if losses else 0.0,
                    mean_loss=float(np.mean(losses)) if losses else 0.0,
+                   min_dist=float(np.min(min_dists)) if min_dists else float("inf"),
+                   mean_dist=float(np.mean(min_dists)) if min_dists else float("inf"),
                    p_u=float(adj.p_u), eta=float(adj.eta),
                    d_max=float(adj.d_max))
         records.append(rec)
         line = (f"epoch {epoch}: steps={rec['steps']} "
                 f"episode_loss={rec['episode_loss']:.3f} "
                 f"mean_loss={rec['mean_loss']:.3f} "
+                f"min_dist={rec['min_dist']:.3f} "
+                f"mean_dist={rec['mean_dist']:.3f} "
                 f"p_u={rec['p_u']:.4f} eta={rec['eta']:.4f} "
                 f"d_max={rec['d_max']:.4f}")
         print(line, flush=True)

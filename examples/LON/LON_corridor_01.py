@@ -23,13 +23,24 @@ EPOCHS = int(os.environ.get("LON_EPOCHS", "3"))
 if __name__ == "__main__":
     here = os.path.dirname(os.path.abspath(__file__))
     planner = NeuPan.init_from_yaml(os.path.join(here, "planner_01.yaml"))
+    # LON owns the stuck behavior through its loss (reference
+    # example/LON/LON_corridor.py:10-19); the planner's built-in deadlock
+    # escape would fight the tuner (its temporary eta/d_max boost leaks
+    # into the recorded trajectories), so it is off during tuning.
+    planner.stuck_enabled = False
     tuner = LONTuner(planner.adjust, lr=5e-3)
     base = os.path.join(REPO, "examples", "corridor", "diff")
 
+    save = os.environ.get("LON_SAVE")
     for epoch in range(EPOCHS):
-        losses = run_episode(planner, tuner, base)
+        losses, min_dists = run_episode(planner, tuner, base)
         adj = planner.adjust
-        print(f"epoch {epoch}: steps={len(losses)} "
-              f"mean_loss={np.mean(losses) if losses else 0:.3f} "
-              f"p_u={float(adj.p_u):.3f} eta={float(adj.eta):.3f} "
-              f"d_max={float(adj.d_max):.3f}")
+        line = (f"epoch {epoch}: steps={len(losses)} "
+                f"episode_loss={np.sum(losses) if losses else 0:.3f} "
+                f"min_dist={np.min(min_dists) if min_dists else float('inf'):.3f} "
+                f"p_u={float(adj.p_u):.4f} eta={float(adj.eta):.4f} "
+                f"d_max={float(adj.d_max):.4f}")
+        print(line, flush=True)
+        if save:
+            with open(save, "a") as f:
+                print(line, file=f)

@@ -53,31 +53,45 @@ def tracking_losses(out, ref_s: jnp.ndarray, ref_us: jnp.ndarray):
 # episode's ~120 steps leaked trace/executable memory (~14 MB/s observed)
 # until LLVM's JIT could no longer allocate and the process segfaulted at
 # the next epoch.  Callers should pass a STABLE loss_fn (module-level
-# function, not a per-step closure) to hit the cache; the dict is bounded
-# as a backstop for per-call closures.
-_LOSS_GRAD_CACHE: dict = {}
+# function, not a per-step closure) to hit the cache; the dict is a true
+# LRU (hits refresh recency) so per-call closure churn cannot evict the
+# stable entries the cache exists to protect.
+from collections import OrderedDict
+
+_LOSS_GRAD_CACHE: "OrderedDict" = OrderedDict()
 _LOSS_GRAD_CACHE_MAX = 32
+
+
+def _loss_fn_arity(loss_fn) -> int:
+    """Arity contract: 1 (loss_fn(out)) or 4 (loss_fn(out, ref_s, ref_us,
+    stuck)).  Anything else is an error — silently calling a 2/3-parameter
+    function with 4 positional args would raise at trace time, and a
+    signature-inspection failure must not silently drop ref_s/ref_us/stuck
+    (advisor round-2 finding)."""
+    import inspect
+
+    try:
+        n_params = len(inspect.signature(loss_fn).parameters)
+    except (TypeError, ValueError) as e:
+        raise TypeError(
+            "loss_fn signature could not be inspected; wrap it in a plain "
+            "def taking either (out) or (out, ref_s, ref_us, stuck)"
+        ) from e
+    if n_params not in (1, 4):
+        raise ValueError(
+            f"loss_fn must take exactly 1 argument (out) or 4 arguments "
+            f"(out, ref_s, ref_us, stuck); got {n_params}")
+    return n_params
 
 
 def _get_loss_grad_fn(spec: PANSpec, loss_fn, collision_threshold: float):
     key = (spec, loss_fn, float(collision_threshold))
     fn = _LOSS_GRAD_CACHE.get(key)
     if fn is not None:
+        _LOSS_GRAD_CACHE.move_to_end(key)
         return fn
 
-    # A 1-arg loss_fn is called as loss_fn(out); a multi-arg one as
-    # loss_fn(out, ref_s, ref_us, stuck) so per-step values arrive as
-    # traced arguments instead of forcing a fresh (cache-missing) closure
-    # per step.
-    if loss_fn is None:
-        n_params = 1
-    else:
-        import inspect
-
-        try:
-            n_params = len(inspect.signature(loss_fn).parameters)
-        except (TypeError, ValueError):
-            n_params = 1
+    n_params = 1 if loss_fn is None else _loss_fn_arity(loss_fn)
 
     def wrapped(adj, dune_params, G, h, nom_s, nom_u, ref_s, ref_us,
                 points, velocities, mask, state, stuck):
@@ -95,7 +109,7 @@ def _get_loss_grad_fn(spec: PANSpec, loss_fn, collision_threshold: float):
 
     fn = jax.jit(jax.value_and_grad(wrapped, has_aux=True))
     if len(_LOSS_GRAD_CACHE) >= _LOSS_GRAD_CACHE_MAX:
-        _LOSS_GRAD_CACHE.pop(next(iter(_LOSS_GRAD_CACHE)))
+        _LOSS_GRAD_CACHE.popitem(last=False)  # evict least-recently-used
     _LOSS_GRAD_CACHE[key] = fn
     return fn
 

@@ -468,7 +468,15 @@ class NeuPan:
         )
 
     def set_adjust_parameters(self, adjust: AdjustParams):
-        """Install a (possibly grad-updated) AdjustParams pytree (LON)."""
+        """Install a (possibly grad-updated) AdjustParams pytree (LON).
+
+        Cancels any in-flight deadlock-escape hold: the caller is taking
+        explicit ownership of the weights, and letting the escape's
+        save/restore interleave with tuner updates was measured to leak
+        the x3 eta boost into the tuned parameters permanently."""
+        self._saved_adjust = None
+        self._escape_hold = 0
+        self._stuck_count = 0
         self.adjust = adjust
 
     # ------------------------------------------------------------------

@@ -1,4 +1,10 @@
-"""Component-level TPU benchmark: DUNE vs QP vs full step."""
+"""Component-level TPU benchmark: DUNE vs QP vs full step.
+
+Writes BENCH_COMPONENTS.json (the VERDICT round-2 #3 artifact): per-stage
+wall times at the deployed config so optimization work aims at the
+dominant piece.  Analysis summary lives in BASELINE.md.
+"""
+import dataclasses
 import json
 import os
 import sys
@@ -13,9 +19,11 @@ import numpy as np
 from bench import make_batch, make_flagship
 from neupan_tpu.models import obs_point_net
 from neupan_tpu.ops.dune import dune_forward, generate_point_flow
-from neupan_tpu.ops.nrmp import AdjustParams, build_qp
-from neupan_tpu.ops.qp import ADMMConfig, QPData, solve_qp
+from neupan_tpu.ops.nrmp import AdjustParams, build_qp, condensation
+from neupan_tpu.ops import qp as qp_mod
 from neupan_tpu.parallel import batched_init_state, batched_planner_step
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def timeit(fn, *args, iters=5):
@@ -29,6 +37,7 @@ def timeit(fn, *args, iters=5):
 
 
 def main(B=256):
+    record = {"B": B, "backend": jax.default_backend()}
     spec = make_flagship()
     G = jnp.asarray(spec.robot.G, jnp.float32)
     h = jnp.asarray(spec.robot.h, jnp.float32)
@@ -38,6 +47,10 @@ def main(B=256):
                           eta=jnp.asarray(10.0), d_max=jnp.asarray(1.0),
                           d_min=jnp.asarray(0.1))
     nom_s, nom_u, ref_s, ref_us, pts, vels, mask = make_batch(spec, B)
+
+    def rec(key, t, note=""):
+        record[key] = round(t * 1e3, 2)
+        print(f"{key}: {t*1e3:.1f} ms {note}", flush=True)
 
     # --- DUNE (one PAN iteration worth), spec-default path -------------
     vertices = (jnp.asarray(spec.robot.vertices, jnp.float32)
@@ -54,70 +67,55 @@ def main(B=256):
                                     select=spec.dune_select, vertices=vertices)
             return jax.vmap(one)(nom_s, pts, vels, mask)
 
-    t_dune = timeit(dune_only, nom_s, pts, vels, mask)
-    print(f"dune ({spec.dune_select}"
-          f"{'+pallas' if use_pallas else ''}, 1 iter, B={B}): "
-          f"{t_dune*1e3:.1f} ms", flush=True)
+    rec("dune_ms", timeit(dune_only, nom_s, pts, vels, mask),
+        f"({spec.dune_select}{'+pallas' if use_pallas else ''}, 1 PAN iter)")
 
-    # --- QP assembly + solve (one PAN iteration worth) ----------------
+    # --- QP assembly + solve (one PAN iteration worth, deployed path) --
     rng = np.random.default_rng(0)
     T, K = spec.nrmp.T, spec.nrmp.K
     fa = jnp.asarray(rng.normal(size=(B, T, K, 2)) * 0.3, jnp.float32)
     fb = jnp.asarray(rng.normal(size=(B, T, K)) - 1.0, jnp.float32)
+    base = dataclasses.replace(spec.admm, elim_n_eq=spec.nrmp.r_acc,
+                               elim_n_hard=spec.nrmp.r_obs - spec.nrmp.r_acc)
 
-    @jax.jit
-    def qp_only(nom_s, nom_u, ref_s, ref_us, fa, fb):
-        with jax.default_matmul_precision("highest"):
-            def one(nom_s, nom_u, ref_s, ref_us, fa, fb):
-                A_dyn, B_dyn, C_dyn = spec.robot.linearize(nom_s, nom_u)
-                qp = build_qp(spec.nrmp, adjust, nom_s, nom_u, ref_s, ref_us,
-                              A_dyn, B_dyn, C_dyn, fa, fb)
-                return solve_qp(qp, spec.admm).x
-            return jax.vmap(one)(nom_s, nom_u, ref_s, ref_us, fa, fb)
+    def qp_fn(cfg):
+        def one(nom_s, nom_u, ref_s, ref_us, fa, fb):
+            A_dyn, B_dyn, C_dyn = spec.robot.linearize(nom_s, nom_u)
+            qp = build_qp(spec.nrmp, adjust, nom_s, nom_u, ref_s, ref_us,
+                          A_dyn, B_dyn, C_dyn, fa, fb)
+            elim = condensation(spec.nrmp, A_dyn, B_dyn, C_dyn, nom_s[:, 0])
+            return qp_mod.solve_qp(qp, cfg, elim=elim).x
+        return jax.jit(lambda *a: jax.vmap(one)(*a))
 
-    t_qp = timeit(qp_only, nom_s, nom_u, ref_s, ref_us, fa, fb)
-    print(f"qp assemble+solve (1 iter, B={B}): {t_qp*1e3:.1f} ms", flush=True)
-
-    # QP without polish
-    import dataclasses
-    spec_np = dataclasses.replace(spec, admm=dataclasses.replace(spec.admm, polish=False))
-
-    @jax.jit
-    def qp_nopolish(nom_s, nom_u, ref_s, ref_us, fa, fb):
-        with jax.default_matmul_precision("highest"):
-            def one(nom_s, nom_u, ref_s, ref_us, fa, fb):
-                A_dyn, B_dyn, C_dyn = spec.robot.linearize(nom_s, nom_u)
-                qp = build_qp(spec.nrmp, adjust, nom_s, nom_u, ref_s, ref_us,
-                              A_dyn, B_dyn, C_dyn, fa, fb)
-                return solve_qp(qp, spec_np.admm).x
-            return jax.vmap(one)(nom_s, nom_u, ref_s, ref_us, fa, fb)
-
-    t_qp_np = timeit(qp_nopolish, nom_s, nom_u, ref_s, ref_us, fa, fb)
-    print(f"qp no-polish (1 iter, B={B}): {t_qp_np*1e3:.1f} ms", flush=True)
-
-    # ADMM iteration count sweep
-    for iters in (100, 200):
-        spec_i = dataclasses.replace(spec.admm, iters=iters)
-
-        @jax.jit
-        def qp_i(nom_s, nom_u, ref_s, ref_us, fa, fb):
-            with jax.default_matmul_precision("highest"):
-                def one(nom_s, nom_u, ref_s, ref_us, fa, fb):
-                    A_dyn, B_dyn, C_dyn = spec.robot.linearize(nom_s, nom_u)
-                    qp = build_qp(spec.nrmp, adjust, nom_s, nom_u, ref_s, ref_us,
-                                  A_dyn, B_dyn, C_dyn, fa, fb)
-                    return solve_qp(qp, spec_i).x
-                return jax.vmap(one)(nom_s, nom_u, ref_s, ref_us, fa, fb)
-
-        t = timeit(qp_i, nom_s, nom_u, ref_s, ref_us, fa, fb)
-        print(f"qp iters={iters} (1 iter, B={B}): {t*1e3:.1f} ms", flush=True)
+    args = (nom_s, nom_u, ref_s, ref_us, fa, fb)
+    rec("qp_full_ms", timeit(qp_fn(base), *args),
+        f"(assemble+admm{base.iters}+polish{base.polish_rounds})")
+    rec("qp_no_polish_ms",
+        timeit(qp_fn(dataclasses.replace(base, polish=False)), *args))
+    for it in (100, 300):
+        rec(f"qp_iters{it}_ms",
+            timeit(qp_fn(dataclasses.replace(base, iters=it)), *args))
+    rec("qp_rounds2_ms",
+        timeit(qp_fn(dataclasses.replace(base, polish_rounds=2)), *args))
 
     # --- full step ----------------------------------------------------
     step = jax.jit(lambda *a: batched_planner_step(spec, params, G, h, adjust, *a))
     state = batched_init_state(spec, B)
     t_full = timeit(step, nom_s, nom_u, ref_s, ref_us, pts, vels, mask, state)
-    print(f"full step (2 PAN iters, B={B}): {t_full*1e3:.1f} ms "
-          f"=> {B/t_full:.0f} solves/s", flush=True)
+    rec("full_step_ms", t_full,
+        f"(2 PAN iters) => {B/t_full:.0f} solves/s")
+    record["solves_per_s"] = round(B / t_full, 1)
+
+    # merge the banded crossover artifact when present
+    banded_path = os.path.join(REPO, "BENCH_BANDED.json")
+    if os.path.exists(banded_path):
+        with open(banded_path) as f:
+            record["banded_crossover"] = json.load(f)
+
+    out = os.path.join(REPO, "BENCH_COMPONENTS.json")
+    with open(out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":

@@ -52,6 +52,10 @@ def main():
                     default=int(os.environ.get("JAX_PROCESS_ID", "0")))
     ap.add_argument("--out", type=str,
                     default=os.path.join(REPO, "BENCH_SCALING.json"))
+    ap.add_argument("--baseline", type=str, default="",
+                    help="single-process BENCH_SCALING.json to compute "
+                         "efficiency against (multiprocess runs measure "
+                         "only the global mesh)")
     args = ap.parse_args()
 
     import jax
@@ -123,17 +127,27 @@ def main():
         local_B = args.batch_per_device * (jax.local_device_count()
                                            if args.multiprocess else n)
         B = args.batch_per_device * n
+        # per-stage timing so a real pod run produces a complete table
+        # with zero edits (VERDICT round-2 #8): input assembly (h2d /
+        # cross-host global-array construction), first-call compile, and
+        # the steady-state step are separated.
+        t0 = time.perf_counter()
         argsb = globalize(bench_mod.make_batch(spec, local_B,
                                                seed=jax.process_index()),
                           mesh)
         state = globalize(batched_init_state(spec, local_B), mesh)
+        jax.block_until_ready((argsb, state))
+        t_h2d = time.perf_counter() - t0
 
         def step(*a):
             return sharded_planner_step(spec, mesh, params, G, h, adjust, *a)
 
         step = jax.jit(step)
+        t0 = time.perf_counter()
         out = step(*argsb, state)
         jax.block_until_ready(out)
+        t_compile = time.perf_counter() - t0
+
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out = step(*argsb, out.state)
@@ -141,13 +155,29 @@ def main():
         dt = time.perf_counter() - t0
         sps = B * args.iters / dt
         rows.append(dict(devices=n, batch=B, solves_per_s=round(sps, 1),
-                         per_device=round(sps / n, 1)))
+                         per_device=round(sps / n, 1),
+                         step_ms=round(dt / args.iters * 1e3, 1),
+                         h2d_ms=round(t_h2d * 1e3, 1),
+                         compile_s=round(t_compile, 1)))
         print(f"devices={n:2d} batch={B:5d} solves/s={sps:9.1f} "
-              f"per-device={sps / n:8.1f}", flush=True)
+              f"per-device={sps / n:8.1f} step={dt/args.iters*1e3:6.1f}ms "
+              f"h2d={t_h2d*1e3:6.1f}ms compile={t_compile:5.1f}s",
+              flush=True)
 
-    base = rows[0]["per_device"]
+    # Efficiency: vs this run's own 1-device row, or vs a supplied
+    # single-process baseline.  A single global-mesh row with no baseline
+    # publishes efficiency=None — normalizing it against itself printed a
+    # meaningless 1.0 that read as perfect scaling (advisor round-2).
+    base = None
+    if len(rows) > 1:
+        base = rows[0]["per_device"]
+    elif args.baseline:
+        with open(args.baseline) as f:
+            base_rows = json.load(f)["scaling"]
+        base = base_rows[0]["per_device"]
     for r in rows:
-        r["efficiency"] = round(r["per_device"] / base, 3)
+        r["efficiency"] = (round(r["per_device"] / base, 3)
+                           if base else None)
 
     result = dict(
         backend=jax.default_backend(),
@@ -164,6 +194,10 @@ def main():
         print(json.dumps({"scaling_efficiency_at_max_devices":
                           rows[-1]["efficiency"],
                           "devices": rows[-1]["devices"]}))
+        if rows[-1]["efficiency"] is None:
+            print("NOTE: single global-mesh row without --baseline — "
+                  "efficiency unpublishable; pass --baseline "
+                  "BENCH_SCALING.json from a single-process run")
     return 0
 
 

@@ -137,3 +137,41 @@ def test_tuner_updates_only_selected_fields():
     assert float(new.q_s) == float(adj.q_s)       # frozen
     assert float(new.d_min) == float(adj.d_min)   # frozen
     assert float(new.d_max) >= 1e-3
+
+
+def test_lon_episode_tuning_reduces_episode_loss():
+    """Episode-level regression (VERDICT round-2 #5): after tuning epochs on
+    the fixed corridor episode, a replay with the TUNED parameters (no
+    further updates) has a strictly lower episode loss than the initial
+    parameters produced."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "examples"))
+    from LON.LON_corridor import run_episode  # noqa: E402
+    from neupan_tpu.planner import NeuPan
+    from neupan_tpu.lon import LONTuner
+
+    base = os.path.join(repo, "examples", "corridor", "diff")
+    planner = NeuPan.init_from_yaml(os.path.join(base, "planner.yaml"))
+    planner.stuck_enabled = False  # LON owns stuck handling via its loss
+
+    class FrozenTuner:
+        def update(self, adjust, grads):
+            return adjust
+
+    # episode loss with the INITIAL parameters (no updates)
+    losses0, _ = run_episode(planner, FrozenTuner(), base)
+    loss0 = float(np.sum(losses0))
+    assert loss0 > 0.0, "fixture episode must exercise the loss"
+
+    # tuning epochs (recorded trajectories show convergence by epoch ~3)
+    tuner = LONTuner(planner.adjust, lr=5e-3)
+    for _ in range(3):
+        run_episode(planner, tuner, base)
+
+    # replay with the tuned parameters frozen
+    losses1, dists1 = run_episode(planner, FrozenTuner(), base)
+    loss1 = float(np.sum(losses1))
+    assert loss1 < loss0, (loss1, loss0)
