@@ -97,10 +97,11 @@ class ADMMConfig:
     eps_act: float = 1e-5  # dual magnitude that marks a constraint active
     # total polish rounds (EQP solves): round 0 guesses the active set from
     # the ADMM duals+values; rounds 1.. re-identify BY VALUE around the best
-    # point tried with a shrinking tolerance (see _polish).  4 rounds
-    # converge the recorded corridor library's hinge-active instances that
-    # the old dual-guess + add/drop scheme left at KKT ~1e-1.
-    polish_rounds: int = 4
+    # point tried with a shrinking tolerance (see _polish).  3 rounds is
+    # the qualified default (contract viol 3.0e-4 + sweep/contact gates
+    # PASS); iters=100 with any round count fails the contact gate
+    # (dyna_non_obs/omni 62 > 47), so the ADMM budget stays at 150.
+    polish_rounds: int = 3
     # Ruiz equilibration sweeps before the ADMM phases.  10 = the OSQP
     # default.  5 measured library-equivalent (kkt p90 4.3e-3 both) but
     # FAILED the closed-loop contract (one corridor step at viol 2e-2 vs

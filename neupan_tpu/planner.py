@@ -89,6 +89,10 @@ class NeuPan:
             import json
             admm_kwargs = dict(admm_kwargs,
                                **json.loads(os.environ["NEUPAN_ADMM_JSON"]))
+        if "warm_iters" in admm_kwargs:
+            # PAN-level knob riding the same override hook
+            pan_kwargs = dict(pan_kwargs,
+                              admm_warm_iters=admm_kwargs.pop("warm_iters"))
 
         nrmp_spec = NRMPSpec(
             T=receding,
@@ -109,6 +113,8 @@ class NeuPan:
             dune_max_num=int(dune_max_num),
             admm=ADMMConfig(**admm_kwargs),
             dune_select=str(pan_kwargs.get("dune_select", "exact")),
+            admm_warm_iters=pan_kwargs.get("admm_warm_iters",
+                                           PANSpec.admm_warm_iters),
         )
         self.no_obs = nrmp_spec.no_obs or dune_max_num == 0
 
