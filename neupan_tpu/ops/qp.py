@@ -72,11 +72,11 @@ class ADMMConfig:
     # removed the chaos at its root (NRMPSpec.reg_u/reg_d strict convexity
     # + the convergent active-set polish, see BASELINE.md "Round 3"), after
     # which the corridor episode takes the same route at 100/150/300/600
-    # iterations and the ADMM's only job is seeding the polish.  150 is
-    # the qualified default: the optimality contract passes (viol 3e-4,
-    # gap 2e-6) and the 25-scenario sweep arrives 25/25 with the contact
-    # gate clean (scripts/sweep_scenarios.py, NEUPAN_ADMM_JSON override).
-    iters: int = 150
+    # iterations and the ADMM's only job is seeding the polish.  120 is
+    # the qualified default (contract viol 7.6e-5, 25/25 sweep + contact
+    # gate PASS via the NEUPAN_ADMM_JSON override ladder); 100 PASSes the
+    # contract but fails the contact bound (dyna_non_obs/omni 62 > 47).
+    iters: int = 120
     # step-size on the Ruiz-equilibrated problem; rho ~ 1 is the natural
     # scale after equilibration (0.1 converges far too slowly on stiff
     # obstacle-heavy NRMP instances)
