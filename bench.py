@@ -6,6 +6,24 @@ with the NRMP ADMM QP — batched over independent scenarios (the TPU scaling
 axis; SURVEY.md §6 target: >= 1000 solves/s/chip at T=10 with 2k points).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Methodology (round 4, see docs/AXON_DISPATCH.md).  The obstacle points are
+generated ON DEVICE inside the jitted step (jax.random keyed by a chained
+PRNG key), so every timed call computes on FRESH data with the PANState /
+key chained call-to-call.  Timing uses the TERMINAL-READ method: N chained
+calls followed by one device->host read that forces the true queue drain —
+`jax.block_until_ready` on this backend returns at enqueue-ACK and cannot
+be trusted, and the read itself permanently degrades the process dispatch,
+so it happens exactly once, at the end.  The published number therefore
+UNDERCOUNTS slightly (it includes the tunnel's one-time ~4 s drain tax;
+the N-slope excluding it measured 82.4 ms/call = 6213 solves/s at B=512 in
+round 4).  The program matches the CPU backend to <= 5e-4 on opt_u.
+
+Accuracy gate: the solver config benched here is the library default
+(ADMMConfig() = 120 ADMM iters + 3-round exact polish + 60 warm-PAN iters),
+double-gated by the f64-oracle optimality contract AND the 25/25 scenario
+sweep with the contact bound (BASELINE.md).  Never bench a config that does
+not pass both.
 """
 
 import json
@@ -35,12 +53,13 @@ BASELINE_SOLVES_PER_S = 1000.0  # BASELINE.md target per chip
 def make_flagship(T=10, P=2048, K=10, admm_iters=None):
     """The benchmarked spec.
 
-    The ADMM config defaults to the library default (ADMMConfig(): 300
-    iterations, 2 polish rounds) — the SAME config every planner YAML runs
-    and the one the double gate qualifies (BASELINE.md): the f64-oracle
-    optimality contract (scripts/exp_control_accuracy.py) AND the 25/25
-    scenario sweep (scripts/sweep_scenarios.py).  Never bench a config
-    that does not pass both.
+    The ADMM config defaults to the library default (ADMMConfig(): 120
+    iterations, 3 polish rounds, 60 warm-PAN iterations) — the SAME config
+    every planner YAML runs and the one the double gate qualifies
+    (BASELINE.md): the f64-oracle optimality contract
+    (scripts/exp_control_accuracy.py) AND the 25/25 scenario sweep
+    (scripts/sweep_scenarios.py).  Never bench a config that does not pass
+    both.
     """
     robot = Robot.create(receding=T, step_time=0.1, kinematics="diff",
                          max_speed=[8, 1], max_acce=[8, 3],
@@ -70,37 +89,74 @@ def make_batch(spec, B, seed=0):
     return nom_s, nom_u, ref_s, ref_us, pts, vels, mask
 
 
-def bench(B=512, iters=10):
-    spec = make_flagship()
-    G = jnp.asarray(spec.robot.G, jnp.float32)
-    h = jnp.asarray(spec.robot.h, jnp.float32)
-    # the deployed self-trained encoder — bench what ships, not random init
+def load_deployed_params(spec):
+    """The deployed self-trained encoder — bench what ships, not random."""
     ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "examples/model/diff_robot_default/model.npz")
     if os.path.exists(ckpt):
-        params = obs_point_net.load_checkpoint(ckpt)
-    else:
-        params = obs_point_net.init_params(jax.random.PRNGKey(0), 2,
-                                           spec.robot.edge_dim)
-    adjust = AdjustParams(q_s=jnp.asarray(1.0), p_u=jnp.asarray(1.0),
-                          eta=jnp.asarray(10.0), d_max=jnp.asarray(1.0),
-                          d_min=jnp.asarray(0.1))
+        return obs_point_net.load_checkpoint(ckpt)
+    return obs_point_net.init_params(jax.random.PRNGKey(0), 2,
+                                     spec.robot.edge_dim)
 
-    step = jax.jit(lambda *a: batched_planner_step(spec, params, G, h,
-                                                   adjust, *a))
-    args = make_batch(spec, B)
+
+def default_adjust():
+    return AdjustParams(q_s=jnp.asarray(1.0), p_u=jnp.asarray(1.0),
+                        eta=jnp.asarray(10.0), d_max=jnp.asarray(1.0),
+                        d_min=jnp.asarray(0.1))
+
+
+def bench(B=512, iters=1000):
+    spec = make_flagship()
+    P = spec.dune_max_num
+    G = jnp.asarray(spec.robot.G, jnp.float32)
+    h = jnp.asarray(spec.robot.h, jnp.float32)
+    params = load_deployed_params(spec)
+    adjust = default_adjust()
+
+    # All device arrays are ARGUMENTS (closure-captured jax Arrays trip the
+    # axon degraded dispatch mode) and fresh obstacle points are drawn on
+    # device inside the step: nothing crosses the host boundary per call.
+    def step_fn(params, G, h, adjust, key, nom_s, nom_u, ref_s, ref_us,
+                vels, mask, state):
+        key, sub = jax.random.split(key)
+        pts = jax.random.uniform(sub, (B, 2, P), jnp.float32, 1.0, 9.0)
+        out = batched_planner_step(spec, params, G, h, adjust, nom_s, nom_u,
+                                   ref_s, ref_us, pts, vels, mask, state)
+        return out, key
+
+    step = jax.jit(step_fn)
+    nom_s, nom_u, ref_s, ref_us, _, vels, mask = make_batch(spec, B)
     state = batched_init_state(spec, B)
+    key = jax.random.PRNGKey(0)
 
-    out = step(*args, state)           # compile + warmup
-    jax.block_until_ready(out)
-    state = out.state
+    out, key = step(params, G, h, adjust, key, nom_s, nom_u, ref_s, ref_us,
+                    vels, mask, state)             # compile + warmup
+    jax.block_until_ready((out, key))              # enqueue-ACK only, fine
 
+    # NO device->host reads before this loop (docs/AXON_DISPATCH.md).
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = step(*args, out.state)
-    jax.block_until_ready(out)
+        out, key = step(params, G, h, adjust, key, nom_s, nom_u, ref_s,
+                        ref_us, vels, mask, out.state)
+    v = np.asarray(out.opt_u[0, 0, 0])   # terminal read: true queue drain
     dt = time.perf_counter() - t0
+    assert np.isfinite(v)
     solves_per_s = B * iters / dt
+
+    # transparency: the tunnel-bound secondary number (per-call readback
+    # keeps this process in the degraded RPC mode).  Real hosts do not
+    # have this failure mode.
+    t0 = time.perf_counter()
+    n_rb = 5
+    for _ in range(n_rb):
+        out, key = step(params, G, h, adjust, key, nom_s, nom_u, ref_s,
+                        ref_us, vels, mask, out.state)
+        _ = np.asarray(out.opt_u)
+    dt_rb = time.perf_counter() - t0
+    print(f"secondary (axon-tunnel degraded, per-call D2H readback): "
+          f"{B * n_rb / dt_rb:.0f} solves/s "
+          f"({dt_rb / n_rb * 1e3:.1f} ms/call)", file=sys.stderr)
+
     return solves_per_s, dt / iters
 
 

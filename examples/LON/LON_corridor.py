@@ -21,6 +21,53 @@ from neupan_tpu.sim.env_loader import load_env  # noqa: E402
 
 EPOCHS = int(os.environ.get("LON_EPOCHS", "3"))
 MAX_STEPS = int(os.environ.get("LON_MAX_STEPS", "120"))
+# evaluation episodes get enough budget to actually ARRIVE (corridor/diff
+# arrives ~207 steps) so steps-to-arrive is a usable navigation metric
+EVAL_STEPS = int(os.environ.get("LON_EVAL_STEPS", "300"))
+COLLISION_THRESHOLD = 0.5  # the tuning loss's near-collision threshold
+
+
+def eval_episode(planner, base, max_steps=None):
+    """Fixed-semantics evaluation: run the episode WITHOUT tuning.
+
+    Returns dict(steps_to_arrive (or None), min_clearance, mean_step_loss)
+    where the per-step loss is the SAME distance loss the tuner optimizes
+    (computed from the planner outputs, no gradients).  This is the
+    before/after comparison the round-3 verdict asked for: the tuning
+    epochs' episode_loss conflates loss level with episode LENGTH, so
+    improvement must be read from an evaluation with fixed semantics.
+    """
+    from neupan_tpu.lon import distance_loss
+
+    max_steps = max_steps or EVAL_STEPS
+    env = load_env(os.path.join(base, "env.yaml"), planner.robot)
+    planner.reset()
+    arrived_at = None
+    min_dists, losses = [], []
+    for i in range(max_steps):
+        state = env.get_robot_state()
+        scan = env.get_lidar_scan()
+        points = planner.scan_to_point(state, scan)
+        action, info = planner(state, points)
+        if info["arrive"]:
+            arrived_at = i
+            break
+        if np.isfinite(planner.min_distance):
+            min_dists.append(float(planner.min_distance))
+        if info.get("distance_tensor") is not None:
+            losses.append(float(distance_loss(
+                info["distance_tensor"], jnp.asarray(planner.min_distance),
+                COLLISION_THRESHOLD)))
+        env.step(action)
+        if env.collided:
+            break
+    return dict(
+        steps_to_arrive=arrived_at,
+        collided=bool(env.collided),
+        min_clearance=float(np.min(min_dists)) if min_dists else float("inf"),
+        mean_clearance=float(np.mean(min_dists)) if min_dists else float("inf"),
+        mean_step_loss=float(np.mean(losses)) if losses else 0.0,
+    )
 
 
 def run_episode(planner, tuner, base):
@@ -88,6 +135,16 @@ def main(epochs=EPOCHS, save_path=None):
     planner.stuck_enabled = False
     tuner = LONTuner(planner.adjust, lr=5e-3)
 
+    def emit(line):
+        print(line, flush=True)
+        if save_path:
+            with open(save_path, "a") as f:
+                print(line, file=f)
+
+    # fixed-semantics BASELINE evaluation (untuned parameters, no tuning)
+    base_eval = eval_episode(planner, base)
+    emit(f"BASELINE (untuned): {base_eval}")
+
     records = []
     for epoch in range(epochs):
         losses, min_dists = run_episode(planner, tuner, base)
@@ -107,11 +164,22 @@ def main(epochs=EPOCHS, save_path=None):
                 f"mean_dist={rec['mean_dist']:.3f} "
                 f"p_u={rec['p_u']:.4f} eta={rec['eta']:.4f} "
                 f"d_max={rec['d_max']:.4f}")
-        print(line, flush=True)
-        if save_path:
-            with open(save_path, "a") as f:
-                print(line, file=f)
-    return records
+        emit(line)
+
+    # fixed-semantics FINAL evaluation (tuned parameters frozen)
+    final_eval = eval_episode(planner, base)
+    emit(f"FINAL (tuned, frozen): {final_eval}")
+    improved = (final_eval["mean_step_loss"] <= base_eval["mean_step_loss"]
+                and final_eval["min_clearance"] >= base_eval["min_clearance"]
+                and not final_eval["collided"])
+    emit(f"IMPROVED: {improved} (mean_step_loss "
+         f"{base_eval['mean_step_loss']:.3f} -> "
+         f"{final_eval['mean_step_loss']:.3f}, min_clearance "
+         f"{base_eval['min_clearance']:.3f} -> "
+         f"{final_eval['min_clearance']:.3f}, steps_to_arrive "
+         f"{base_eval['steps_to_arrive']} -> "
+         f"{final_eval['steps_to_arrive']})")
+    return records, base_eval, final_eval
 
 
 if __name__ == "__main__":

@@ -65,6 +65,15 @@ if not _os.environ.get("NEUPAN_TPU_NO_CACHE"):
     # flipping chaotic closed-loop outcomes.  Segregate by platform tag.
     _platform_tag = (_os.environ.get("JAX_PLATFORMS") or "default").replace(
         ",", "-")
+    # ... and even JAX_PLATFORMS=cpu is not enough on hosts with a
+    # remote-compile site hook (the axon sitecustomize routes XLA compiles
+    # through the tunnel server, whose CPU differs): a hooked cpu process
+    # would poison the local cpu cache with foreign-feature AOT entries
+    # (observed round 4: "+prefer-no-scatter ... could lead to SIGILL"
+    # warnings in pure-local runs).  Tag hooked processes separately.
+    import sys as _sys
+    if any(".axon_site" in (_p or "") for _p in _sys.path):
+        _platform_tag += "-tunnelhook"
     _cache_dir = _os.environ.get(
         "NEUPAN_TPU_CACHE_DIR",
         _os.path.join(_os.path.expanduser("~"), ".cache",

@@ -71,12 +71,24 @@ def _loss_fn_arity(loss_fn) -> int:
     import inspect
 
     try:
-        n_params = len(inspect.signature(loss_fn).parameters)
+        params = inspect.signature(loss_fn).parameters
     except (TypeError, ValueError) as e:
         raise TypeError(
             "loss_fn signature could not be inspected; wrap it in a plain "
             "def taking either (out) or (out, ref_s, ref_us, stuck)"
         ) from e
+    # *args / **kwargs make the parameter COUNT meaningless — a loss_fn
+    # declared as (*args) would count as 1 and be silently called as
+    # loss_fn(out), dropping ref_s/ref_us/stuck: the exact silent-drop
+    # failure this check exists to prevent (advisor round-3 finding).
+    for p in params.values():
+        if p.kind in (inspect.Parameter.VAR_POSITIONAL,
+                      inspect.Parameter.VAR_KEYWORD):
+            raise ValueError(
+                "loss_fn must declare explicit positional parameters — "
+                "either (out) or (out, ref_s, ref_us, stuck); *args/"
+                "**kwargs signatures are ambiguous and rejected")
+    n_params = len(params)
     if n_params not in (1, 4):
         raise ValueError(
             f"loss_fn must take exactly 1 argument (out) or 4 arguments "

@@ -267,7 +267,17 @@ def _admm_with_elim(spec: PANSpec) -> ADMMConfig:
     nrmp = spec.nrmp
     n_eq = nrmp.r_acc
     n_hard = (nrmp.r_obs if not nrmp.no_obs else nrmp.m) - nrmp.r_acc
-    return dataclasses.replace(spec.admm, elim_n_eq=n_eq, elim_n_hard=n_hard)
+    # acc rows are the only general hard rows; every hard row after them
+    # (speed, d-box) is a unit bound on a w coordinate in order — the
+    # ADMMConfig.elim_n_acc contract for the box-eliminating polish
+    n_acc = nrmp.r_spd - nrmp.r_acc
+    extra = {}
+    if spec.admm.inverse == "banded" and spec.admm.banded_perm is None:
+        from neupan_tpu.ops import banded as _banded
+        extra["banded_perm"] = tuple(
+            int(i) for i in _banded.nrmp_permutation(nrmp.T, nrmp.no_obs))
+    return dataclasses.replace(spec.admm, elim_n_eq=n_eq, elim_n_hard=n_hard,
+                               elim_n_acc=n_acc, **extra)
 
 
 def _pan_forward_no_obs(spec: PANSpec, adjust: AdjustParams,

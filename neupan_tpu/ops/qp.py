@@ -72,10 +72,18 @@ class ADMMConfig:
     # removed the chaos at its root (NRMPSpec.reg_u/reg_d strict convexity
     # + the convergent active-set polish, see BASELINE.md "Round 3"), after
     # which the corridor episode takes the same route at 100/150/300/600
-    # iterations and the ADMM's only job is seeding the polish.  120 is
-    # the qualified default (contract viol 7.6e-5, 25/25 sweep + contact
-    # gate PASS via the NEUPAN_ADMM_JSON override ladder); 100 PASSes the
-    # contract but fails the contact bound (dyna_non_obs/omni 62 > 47).
+    # iterations and the ADMM's only job is seeding the polish.
+    #
+    # CANONICAL round-4 qualification record for the shipped default
+    # (iters=120, condense_admm=True, box-elim polish_rounds=3,
+    # refine_steps=5, admm_warm_iters=60):
+    #   contract  obj gap max 1.9e-5, hard viol max 8.9e-5  (BASELINE.md)
+    #   sweep     25/25 arrive, contact gate PASS
+    # Round-3 ladder for the shared knobs (each moved alone, full-space
+    # solver): iters=100 PASSed the contract but FAILed the contact bound
+    # (dyna_non_obs/omni 62 > 47); refine_steps=3 likewise (48 > 47, one
+    # non-arrival); round-4 additions: rho_updates=0 PASSes both gates but
+    # degrades worst-case |du0| to 0.335 for 3.7 ms -> rejected.
     iters: int = 120
     # step-size on the Ruiz-equilibrated problem; rho ~ 1 is the natural
     # scale after equilibration (0.1 converges far too slowly on stiff
@@ -98,9 +106,8 @@ class ADMMConfig:
     # total polish rounds (EQP solves): round 0 guesses the active set from
     # the ADMM duals+values; rounds 1.. re-identify BY VALUE around the best
     # point tried with a shrinking tolerance (see _polish).  3 rounds is
-    # the qualified default (contract viol 3.0e-4 + sweep/contact gates
-    # PASS); iters=100 with any round count fails the contact gate
-    # (dyna_non_obs/omni 62 > 47), so the ADMM budget stays at 150.
+    # the qualified default — see the canonical qualification record on
+    # `iters` above for the gate numbers and the rejected-knob ladder.
     polish_rounds: int = 3
     # Ruiz equilibration sweeps before the ADMM phases.  10 = the OSQP
     # default.  5 measured library-equivalent (kkt p90 4.3e-3 both) but
@@ -120,33 +127,110 @@ class ADMMConfig:
     # ~14x fewer factorization flops, the dominant polish cost on TPU.
     elim_n_eq: Optional[int] = None
     elim_n_hard: Optional[int] = None
+    # Bound-row structure of the hard block (round 4).  The FIRST
+    # elim_n_acc hard rows are general (the NRMP acceleration rows,
+    # coupling two variables); every hard row AFTER them must be a unit
+    # bound on reduced coordinate i, in coordinate order (the NRMP speed
+    # and d-box rows are exactly the w = (u, d) coordinates).  The polish
+    # then eliminates bound-active VARIABLES directly (a masked identity
+    # row/col in the reduced Hessian) and runs the dual Schur complement
+    # over the acceleration rows only: (48, 48) -> (18, 18) at T=10, which
+    # drops every polish factorization under the GJ threshold — the QP
+    # forward pass becomes cholesky-free.  None = generic dual-Schur over
+    # all hard rows (the pre-round-4 path).
+    elim_n_acc: Optional[int] = None
+    # Run the ADMM ITSELF in the equality-eliminated space (round 4).  The
+    # dynamics/init equalities are always active, so with x = Z w + xp the
+    # reduced problem has k = n - n_eq variables and m - n_eq rows; the
+    # per-phase normal-matrix factorization shrinks (63->30 at T=10) and
+    # the scan-body constraint operator shrinks (163x63 -> 148x30).  On
+    # TPU the XLA cholesky costs ~linear in n (sequential column loop:
+    # 4.0/1.8 ms at n=63/30, B=512 — BASELINE.md round 4), so this halves
+    # the dominant ADMM factorization cost and ~4x-es the scan bandwidth.
+    # Equalities are satisfied EXACTLY by construction (the full-space
+    # path only enforces them at rho_eq_scale); equality duals are
+    # recovered from stationarity through the equality Gram after the
+    # solve.  Requires `elim` + the row-layout statics above.
+    condense_admm: bool = True
+    # Normal-matrix inverse strategy for the FULL-SPACE ADMM phases
+    # ("auto" = Jacobi+GJ/cholesky _spd_inverse).  "banded" uses the
+    # block-tridiagonal factorization (ops/banded.py) under the horizon-
+    # interleaved permutation — the ECOS-sparse-KKT analogue for long
+    # horizons (reference blocks/nrmp.py:144).  Only consulted when
+    # condense_admm is off or no elimination basis is supplied: the
+    # condensed normal matrix Z'PZ is dense, not banded.  banded_perm /
+    # banded_block carry the (static) permutation; pan._admm_with_elim
+    # fills them from the NRMP layout.
+    inverse: str = "auto"
+    banded_perm: Optional[Tuple[int, ...]] = None
+    banded_block: int = 6
     # Retired knobs (Newton-Schulz / LU inverses, per-row soft rho, the
     # structured scan matvec, the CG Schur solve, the penalty-form EQP):
-    # every one lost a measured bake-off on real hardware or real
-    # instances — the history and numbers live in docs/SOLVER_NOTES.md.
+    # every one lost a measured bake-off — though NOTE (round 4,
+    # docs/AXON_DISPATCH.md) those bake-offs used wall timings now known
+    # to be dispatch-polluted; the history lives in docs/SOLVER_NOTES.md
+    # and any revival must re-measure with scripts/prof_util.py.
+
+
+# Size threshold for the unrolled Gauss-Jordan inverse.  Measured on the
+# real chip (profiler device time, B=512 — BASELINE.md round 4): GJ beats
+# the cholesky path 2.1x at n=30 and 1.2x at n=33 but loses at n=48
+# (0.72x) and n=63 (0.34x) — XLA's cholesky/triangular custom-calls cost
+# ~linear in n (sequential column loop with a large per-column constant)
+# while GJ's unrolled rank-1 updates cost ~n * n^2 elementwise work, so
+# the crossover sits between 33 and 48.  GJ is also markedly MORE accurate
+# on the real rho_eq-stiffened NRMP matrices (||MX-I||_inf 9e-5 vs 5e-2).
+_GJ_MAX_N = 36
 
 
 def _spd_inverse(M: jnp.ndarray, cfg: "ADMMConfig") -> jnp.ndarray:
-    """Inverse of an SPD matrix: Jacobi scaling + ridge + batched Cholesky.
+    """Inverse of an SPD matrix: Jacobi scaling + ridge, then either an
+    unrolled Gauss-Jordan (small n; pure elementwise/rank-1 ops, no
+    custom-calls — see _GJ_MAX_N) or a batched Cholesky.
 
-    SPD-native and pivot-free — constant TPU timing.  (jnp.linalg.inv's
-    pivoted LU measured ~100x slower on TPU for REAL high-condition polish
-    Hessians than for random matrices of the same shape, a data-dependent
-    slow path; Newton-Schulz cannot converge in f32 past cond ~1e7 — both
-    retired, docs/SOLVER_NOTES.md.)  The ridge (1e-7 on the unit Jacobi
-    diagonal) caps the factorization condition so f32 Cholesky cannot
-    break down; the resulting O(ridge*cond) inverse error is removed
-    geometrically by the polish refinement.
+    Both are SPD-native and pivot-free — constant TPU timing.  (GJ without
+    pivoting is the LDL'-style elimination; on an SPD matrix every Schur
+    pivot is positive, and the Jacobi scaling + 1e-7 ridge cap the
+    condition.)  jnp.linalg.inv's pivoted LU measured ~100x slower on TPU
+    for REAL high-condition polish Hessians (data-dependent slow path) and
+    Newton-Schulz cannot converge in f32 past cond ~1e7 — both retired,
+    docs/SOLVER_NOTES.md.  Residual inverse error is removed geometrically
+    by the polish refinement.
     """
     n = M.shape[-1]
     dj = jax.lax.rsqrt(jnp.abs(jnp.diagonal(M, axis1=-2, axis2=-1)) + 1e-30)
     Mt = M * dj[..., :, None] * dj[..., None, :]
     eye = jnp.eye(n, dtype=M.dtype)
     Mt = Mt + 1e-7 * eye
-    ch = jnp.linalg.cholesky(Mt)
-    X = jax.scipy.linalg.cho_solve(
-        (ch, True), jnp.broadcast_to(eye, Mt.shape))
+    if n <= _GJ_MAX_N:
+        X = _gj_inverse_scaled(Mt)
+    else:
+        ch = jnp.linalg.cholesky(Mt)
+        X = jax.scipy.linalg.cho_solve(
+            (ch, True), jnp.broadcast_to(eye, Mt.shape))
     return X * dj[..., :, None] * dj[..., None, :]
+
+
+def _gj_inverse_scaled(A: jnp.ndarray) -> jnp.ndarray:
+    """In-place Jordan-exchange inverse of a (scaled, ridged) SPD matrix.
+
+    n unrolled steps of a rank-1 update + masked row/column writes — pure
+    VPU work that XLA fuses, with no cholesky/triangular custom-calls.
+    """
+    n = A.shape[-1]
+    I = jnp.eye(n, dtype=A.dtype)
+    for j in range(n):
+        row_mask = I[j][:, None] > 0          # selects row j
+        col_mask = I[j][None, :] > 0          # selects column j
+        p = A[..., j, j][..., None, None]
+        inv_p = 1.0 / p
+        row_j = A[..., j:j + 1, :] * inv_p    # (..., 1, n)
+        col_j = A[..., :, j:j + 1]            # (..., n, 1)
+        A = A - col_j * row_j
+        A = jnp.where(row_mask, row_j, A)
+        A = jnp.where(col_mask, -col_j * inv_p, A)
+        A = jnp.where(row_mask & col_mask, inv_p, A)
+    return A
 
 
 def _clip_bounds(l: jnp.ndarray, u: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -239,7 +323,14 @@ def _admm_core(qp: QPData, cfg: ADMMConfig, x0: jnp.ndarray, y0: jnp.ndarray):
         # Normal-matrix inverse is materialized so the scan body is pure
         # matmuls (fast on TPU; no triangular solves in the loop).
         M = jnp.diag(P + cfg.sigma) + (A.T * rho) @ A
-        Minv = _spd_inverse(M, cfg)
+        if cfg.inverse == "banded" and cfg.banded_perm is not None:
+            from neupan_tpu.ops import banded as _banded
+            import numpy as _np
+            Minv = _banded.btd_spd_inverse(
+                M, _np.asarray(cfg.banded_perm, _np.int32),
+                cfg.banded_block)
+        else:
+            Minv = _spd_inverse(M, cfg)
 
         def body(carry, _):
             x, z, y = carry
@@ -296,6 +387,149 @@ def _admm_core(qp: QPData, cfg: ADMMConfig, x0: jnp.ndarray, y0: jnp.ndarray):
     r_prim = jnp.max(viol)
     r_dual = jnp.max(jnp.abs(qp.P_diag * x + qp.q + qp.A.T @ y))
     return x, y, z, r_prim, r_dual
+
+
+def _ruiz_equilibrate_dense(H, qv, A, l, u, soft, iters: int = 10):
+    """Ruiz equilibration for a DENSE quadratic term (condensed ADMM).
+
+    Same scheme as _ruiz_equilibrate but the column norms include the
+    dense H = Z' diag(P) Z, and H is scaled on both sides.
+    """
+    n, m = H.shape[0], A.shape[0]
+    D = jnp.ones((n,), H.dtype)
+    E = jnp.ones((m,), H.dtype)
+    c = jnp.asarray(1.0, H.dtype)
+
+    def body(carry, _):
+        H, qv, A, D, E, c = carry
+        col_norm = jnp.sqrt(jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(A), axis=0),
+                        jnp.max(jnp.abs(H), axis=0)), 1e-8))
+        row_norm = jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(A), axis=1), 1e-8))
+        d = 1.0 / col_norm
+        e = 1.0 / row_norm
+        H = H * d[:, None] * d[None, :]
+        qv = qv * d
+        A = A * e[:, None] * d[None, :]
+        gamma = 1.0 / jnp.maximum(
+            jnp.maximum(jnp.mean(jnp.abs(H)), jnp.max(jnp.abs(qv))), 1e-8)
+        gamma = jnp.clip(gamma, 1e-6, 1e6)
+        H = H * gamma
+        qv = qv * gamma
+        return (H, qv, A, D * d, E * e, c * gamma), None
+
+    (H, qv, A, D, E, c), _ = jax.lax.scan(
+        body, (H, qv, A, D, E, c), None, length=iters)
+    soft_s = None if soft is None else c * soft / (E * E)
+    return H, qv, A, E * l, E * u, soft_s, D, E, c
+
+
+def _admm_core_condensed(qp: QPData, cfg: ADMMConfig,
+                         x0: jnp.ndarray, y0: jnp.ndarray, elim,
+                         Geq_inv: jnp.ndarray):
+    """ADMM on the equality-eliminated problem (see ADMMConfig.condense_admm).
+
+    Contract with the elimination basis (ops/nrmp.py:condensation): the
+    LAST k coordinates of x are exactly w (Z's bottom k x k block is the
+    identity and xp vanishes there), so warm starts transfer as
+    w0 = x0[-k:]; reduced duals seed from y0 with the equality rows
+    dropped.  Returns full-space (x, y, z, r_prim, r_dual) with equality
+    duals recovered from stationarity via the equality Gram inverse.
+    """
+    Z, xp = elim
+    n_eq = cfg.elim_n_eq
+    k = Z.shape[1]
+    P, q, A = qp.P_diag, qp.q, qp.A
+
+    # reduced problem: 0.5 w' Hr w + qr' w,  l_r <= Ar w <= u_r (+ soft)
+    Ar = A[n_eq:] @ Z                                # (m_r, k)
+    Axp = A[n_eq:] @ xp
+    l_r, u_r = _clip_bounds(qp.l[n_eq:] - Axp, qp.u[n_eq:] - Axp)
+    soft_r = None if qp.soft is None else qp.soft[n_eq:]
+    PZ = Z * P[:, None]
+    Hr = Z.T @ PZ
+    qr = Z.T @ (q + P * xp)
+
+    Hs, qs, As, ls, us, soft_s, D, E, c = _ruiz_equilibrate_dense(
+        Hr, qr, Ar, l_r, u_r, soft_r, cfg.ruiz_iters)
+    ls, us = _clip_bounds(ls, us)
+    is_eq = (us - ls) < 1e-9
+    is_soft = None if soft_s is None else soft_s > 0.0
+
+    w0 = x0[-k:] / D
+    y0_r = c * y0[n_eq:] / E
+
+    def z_prox(v, rho):
+        z_hard = jnp.clip(v, ls, us)
+        if soft_s is None:
+            return z_hard
+        z_sf = jnp.where(v >= ls, v, ls + (v - ls) * rho / (rho + soft_s))
+        return jnp.where(is_soft, jnp.minimum(z_sf, us), z_hard)
+
+    def phase(w, z, y, rho, iters):
+        M = Hs + cfg.sigma * jnp.eye(k, dtype=Hs.dtype) + (As.T * rho) @ As
+        Minv = _spd_inverse(M, cfg)
+
+        def body(carry, _):
+            w, z, y = carry
+            rhs = cfg.sigma * w - qs + As.T @ (rho * z - y)
+            w_t = Minv @ rhs
+            z_t = As @ w_t
+            w_new = cfg.alpha * w_t + (1.0 - cfg.alpha) * w
+            z_mix = cfg.alpha * z_t + (1.0 - cfg.alpha) * z
+            z_new = z_prox(z_mix + y / rho, rho)
+            y_new = y + rho * (z_mix - z_new)
+            return (w_new, z_new, y_new), None
+
+        (w, z, y), _ = jax.lax.scan(body, (w, z, y), None, length=iters)
+        return w, z, y
+
+    def rebalance(base_rho, w, z, y):
+        Aw = As @ w
+        Hw, Aty = Hs @ w, As.T @ y
+        rp = jnp.max(jnp.abs(Aw - z)) / jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Aw)), jnp.max(jnp.abs(z))), 1e-6)
+        rd = jnp.max(jnp.abs(Hw + qs + Aty)) / jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Hw)),
+                        jnp.maximum(jnp.max(jnp.abs(Aty)),
+                                    jnp.max(jnp.abs(qs)))), 1e-6)
+        scale = jnp.clip(jnp.sqrt(rp / jnp.maximum(rd, 1e-12)), 1e-2, 1e2)
+        return jnp.clip(base_rho * scale, 1e-4, 1e3)
+
+    n_phases = max(1, int(cfg.rho_updates) + 1)
+    per_phase = max(cfg.iters // n_phases, 1)
+    base_rho = jnp.asarray(cfg.rho, P.dtype)
+    z0 = jnp.clip(As @ w0, ls, us)
+    w, z, y = w0, z0, y0_r
+    for i in range(n_phases):
+        rho = jnp.where(is_eq, base_rho * cfg.rho_eq_scale, base_rho)
+        iters = (per_phase if i < n_phases - 1
+                 else cfg.iters - per_phase * (n_phases - 1))
+        w, z, y = phase(w, z, y, rho, iters)
+        if i < n_phases - 1:
+            base_rho = rebalance(base_rho, w, z, y)
+
+    # back to full space
+    w = D * w
+    y_r = E * y / c
+    x = Z @ w + xp
+    m = A.shape[0]
+    y_full = jnp.zeros((m,), P.dtype).at[n_eq:].set(y_r)
+    # equality duals from stationarity: Aeq' y_eq = -(P x + q + A_r' y_r)
+    r_stat = -(P * x + q + A[n_eq:].T @ y_r)
+    y_eq = Geq_inv @ (A[:n_eq] @ r_stat)
+    y_full = y_full.at[:n_eq].set(y_eq)
+
+    l0, u0 = _clip_bounds(qp.l, qp.u)
+    Ax = A @ x
+    z_full = jnp.clip(Ax, l0, u0)
+    viol = jnp.abs(Ax - z_full)
+    if qp.soft is not None:
+        z_full = jnp.where(qp.soft > 0.0, Ax, z_full)
+        viol = jnp.where(qp.soft > 0.0, 0.0, viol)
+    r_prim = jnp.max(viol)
+    r_dual = jnp.max(jnp.abs(P * x + q + A.T @ y_full))
+    return x, y_full, z_full, r_prim, r_dual
 
 
 def kkt_error(P, q, A, l, u, x, y, soft=None):
@@ -530,8 +764,137 @@ def _polish_candidate_condensed(qp: QPData, cfg: ADMMConfig, low_act, up_act,
     return x, y, ok
 
 
+def _polish_candidate_condensed_box(qp: QPData, cfg: ADMMConfig, low_act,
+                                    up_act, soft_act, Z, xp, Geq_inv):
+    """Condensed EQP with bound-active VARIABLES eliminated directly.
+
+    Requires cfg.elim_n_acc (see ADMMConfig): hard rows split into
+    [general acc rows | unit bound rows in w-coordinate order].  An active
+    bound row pins w_i = b_i; instead of carrying it as a Schur row, the
+    reduced Hessian gets an identity row/col at i (Hm below) and only the
+    ACC rows enter the dual Schur complement — (n_acc, n_acc) instead of
+    (n_hard, n_hard).  Bound-row duals are recovered from stationarity at
+    the pinned coordinates, equality duals through Geq_inv as before.
+    """
+    P, q, A = qp.P_diag, qp.q, qp.A
+    l, u = _clip_bounds(qp.l, qp.u)
+    n_eq, n_acc = cfg.elim_n_eq, cfg.elim_n_acc
+    k = Z.shape[1]
+    sl_acc = slice(n_eq, n_eq + n_acc)
+    sl_box = slice(n_eq + n_acc, n_eq + cfg.elim_n_hard)
+
+    # ---- bound rows -> pinned coordinates --------------------------------
+    lo_b, up_b = low_act[sl_box], up_act[sl_box]
+    act_box = lo_b | up_b                              # (k,)
+    b_box = jnp.where(up_b, u[sl_box], l[sl_box])
+    b_box = jnp.where(act_box, b_box, 0.0)
+    fix = act_box.astype(P.dtype)
+    free = 1.0 - fix
+
+    # ---- objective pieces (identical to the generic condensed path) -----
+    if soft_act is None:
+        SA = None
+        g1 = -q
+
+        def soft_grad(x_):
+            return jnp.zeros_like(x_)
+    else:
+        ssd = jnp.sqrt(qp.soft * soft_act.astype(P.dtype))
+        SA = A * ssd[:, None]
+        g3 = ssd * l
+        SAtg3 = SA.T @ g3
+        g1 = -q + SAtg3
+
+        def soft_grad(x_):
+            return SA.T @ (SA @ x_) - SAtg3
+
+    Pr = P + cfg.sigma
+
+    def Hp_mv(v):
+        out = Pr * v
+        if SA is not None:
+            out = out + SA.T @ (SA @ v)
+        return out
+
+    PZ = Z * Pr[:, None]
+    Hr = Z.T @ PZ
+    if SA is not None:
+        SZ = SA @ Z
+        Hr = Hr + SZ.T @ SZ
+    g1r = Z.T @ (g1 - Hp_mv(xp))
+
+    def Hr_mv(w_):
+        return Hr @ w_
+
+    # masked Hessian: identity row/col at pinned coordinates
+    Hm = Hr * free[:, None] * free[None, :] + jnp.diag(fix)
+    Hm_inv = _spd_inverse(Hm, cfg)
+
+    # ---- acc rows: dual Schur over the general rows only -----------------
+    A_acc = A[sl_acc] @ Z                              # (n_acc, k)
+    act_acc = (low_act[sl_acc] | up_act[sl_acc])
+    b_acc = jnp.where(up_act[sl_acc], u[sl_acc], l[sl_acc])
+    A_acc_f = A_acc * free[None, :]                    # pinned cols to rhs
+    rn = jnp.sqrt(jnp.sum(A_acc_f * A_acc_f, axis=1))
+    # an active acc row whose variables are ALL pinned is redundant (or
+    # infeasible-by-1e-x); drop it rather than dividing by ~0
+    act_acc = act_acc & (rn > 1e-6)
+    d = act_acc.astype(P.dtype)
+    rs = jnp.where(act_acc, 1.0 / jnp.maximum(rn, 1e-8), 0.0)
+    DAn = (A_acc_f * d[:, None]) * rs[:, None]         # (n_acc, k) normalized
+    # rhs: full-space row value minus xp and pinned-coordinate parts
+    b_eff = b_acc - A[sl_acc] @ xp - A_acc @ (fix * b_box)
+    g2n = jnp.where(act_acc, b_eff * rs, 0.0)
+
+    HD = Hm_inv @ DAn.T                                # (k, n_acc)
+    S = DAn @ HD + jnp.diag((1.0 - d) + 1e-6)          # (n_acc, n_acc)
+    S_inv = _spd_inverse(S, cfg)
+
+    def kkt_solve(r1, r_fix, r2n):
+        """Solve the pinned KKT: Hr dw + DAn' dyn = r1 (free rows),
+        dw_fix = r_fix, DAn dw = r2n."""
+        t = free * (r1 - Hr_mv(fix * r_fix)) + fix * r_fix
+        dw0 = Hm_inv @ t
+        dyn = S_inv @ (DAn @ dw0 - r2n)
+        dw = dw0 - Hm_inv @ (free * (DAn.T @ dyn))
+        return dw, dyn
+
+    w, yn = kkt_solve(g1r, b_box, g2n)
+
+    for _ in range(cfg.refine_steps):
+        x_full = Z @ w + xp
+        grad_r = Z.T @ (-q - P * x_full - soft_grad(x_full))
+        r1 = grad_r - DAn.T @ (d * yn)
+        r_fix = b_box - w                               # pin residual
+        r2n = g2n - (DAn @ w + (1.0 - d) * yn)
+        dw, dyn = kkt_solve(r1, fix * r_fix, r2n)
+        w = w + dw
+        yn = yn + dyn
+
+    x = Z @ w + xp
+    y_acc = d * yn * rs
+
+    # ---- dual recovery ----------------------------------------------------
+    # bound rows: stationarity residual at the pinned coordinates
+    grad_r = Z.T @ (-q - P * x - soft_grad(x))
+    y_box = fix * (grad_r - A_acc.T @ y_acc)
+    m = A.shape[0]
+    y = jnp.zeros((m,), P.dtype)
+    y = y.at[sl_acc].set(y_acc)
+    y = y.at[sl_box].set(y_box)
+    if soft_act is not None:
+        is_soft = qp.soft > 0.0
+        y = jnp.where(is_soft, qp.soft * jnp.minimum(A @ x - l, 0.0), y)
+    r_stat = -q - P * x - soft_grad(x) - A[n_eq:].T @ y[n_eq:]
+    y_eq = Geq_inv @ (A[:n_eq] @ r_stat)
+    y = y.at[:n_eq].set(y_eq)
+
+    ok = jnp.all(jnp.isfinite(x)) & jnp.all(jnp.isfinite(y))
+    return x, y, ok
+
+
 def _polish(qp: QPData, cfg: ADMMConfig, x: jnp.ndarray, y: jnp.ndarray,
-            elim=None):
+            elim=None, Geq_inv=None):
     """Iterated active-set polish with value-based identification.
 
     Round-3 redesign, grounded in the recorded corridor instance library
@@ -618,13 +981,19 @@ def _polish(qp: QPData, cfg: ADMMConfig, x: jnp.ndarray, y: jnp.ndarray,
                 and cfg.elim_n_hard is not None)
     if use_elim:
         Z_e, xp_e = elim
-        Aeq = A[: cfg.elim_n_eq]
-        Geq = Aeq @ Aeq.T + 1e-8 * jnp.eye(cfg.elim_n_eq, dtype=P.dtype)
-        Geq_inv = _spd_inverse(Geq, cfg)
+        if Geq_inv is None:
+            Aeq = A[: cfg.elim_n_eq]
+            Geq = Aeq @ Aeq.T + 1e-8 * jnp.eye(cfg.elim_n_eq, dtype=P.dtype)
+            Geq_inv = _spd_inverse(Geq, cfg)
 
-        def candidate(lo, hi, sa):
-            return _polish_candidate_condensed(qp, cfg, lo, hi, sa,
-                                               Z_e, xp_e, Geq_inv)
+        if cfg.elim_n_acc is not None:
+            def candidate(lo, hi, sa):
+                return _polish_candidate_condensed_box(qp, cfg, lo, hi, sa,
+                                                       Z_e, xp_e, Geq_inv)
+        else:
+            def candidate(lo, hi, sa):
+                return _polish_candidate_condensed(qp, cfg, lo, hi, sa,
+                                                   Z_e, xp_e, Geq_inv)
     else:
         def candidate(lo, hi, sa):
             return _polish_candidate(qp, cfg, lo, hi, sa)
@@ -733,9 +1102,23 @@ def _solve_single(qp: QPData, cfg: ADMMConfig,
     # solver) requires exact f32 matmuls: block bf16 fast paths (TPU MXU
     # default, CPU AMX) for everything inside the solve.
     with jax.default_matmul_precision("highest"):
-        x, y, z, rp, rd = _admm_core(qp, cfg, x0, y0)
+        use_elim = (elim is not None and cfg.elim_n_eq is not None
+                    and cfg.elim_n_hard is not None)
+        Geq_inv = None
+        if use_elim:
+            # equality Gram inverse, shared by the condensed ADMM's dual
+            # recovery and every polish round's dual recovery
+            Aeq = qp.A[: cfg.elim_n_eq]
+            Geq = Aeq @ Aeq.T + 1e-8 * jnp.eye(cfg.elim_n_eq,
+                                               dtype=qp.P_diag.dtype)
+            Geq_inv = _spd_inverse(Geq, cfg)
+        if use_elim and cfg.condense_admm:
+            x, y, z, rp, rd = _admm_core_condensed(qp, cfg, x0, y0, elim,
+                                                   Geq_inv)
+        else:
+            x, y, z, rp, rd = _admm_core(qp, cfg, x0, y0)
         if cfg.polish:
-            x, y, _, _, _ = _polish(qp, cfg, x, y, elim)
+            x, y, _, _, _ = _polish(qp, cfg, x, y, elim, Geq_inv=Geq_inv)
             x = _snap_variable_bounds(qp, x)
             l, u = _clip_bounds(qp.l, qp.u)
             Ax = qp.A @ x

@@ -86,7 +86,12 @@ class NeuPan:
             # exp_control_accuracy.py, scripts/sweep_scenarios.py) use this
             # to run the SAME closed-loop oracles on a candidate solver
             # config before the bench may publish it (BASELINE.md).
+            # Announce loudly: a leftover exported var from a qualification
+            # run would otherwise silently alter every planner constructed
+            # in the process (advisor round-3 finding).
             import json
+            print(f"NeuPan: NEUPAN_ADMM_JSON override active: "
+                  f"{os.environ['NEUPAN_ADMM_JSON']}")
             admm_kwargs = dict(admm_kwargs,
                                **json.loads(os.environ["NEUPAN_ADMM_JSON"]))
         if "warm_iters" in admm_kwargs:
@@ -105,6 +110,16 @@ class NeuPan:
             reg_u=float(adjust_kwargs.get("reg_u", 0.1)),
             reg_d=float(adjust_kwargs.get("reg_d", 0.1)),
         )
+        if (nrmp_spec.reg_u == 0.0 or nrmp_spec.reg_d == 0.0) and \
+                ADMMConfig(**admm_kwargs).polish:
+            # The polish's value-based active-set identification requires a
+            # strictly convex P (ops/qp.py:_polish docstring); reg 0 re-
+            # enters the round-2 non-convergent regime (advisor round-3
+            # finding).  Warn rather than silently degrade.
+            print("NeuPan WARNING: adjust.reg_u/reg_d = 0 with polish "
+                  "enabled — the QP objective is only PSD and the active-"
+                  "set polish may not converge (see NRMPSpec.reg_u). "
+                  "Restore the defaults (0.1) or disable polish.")
         self.spec = PANSpec(
             robot=self.robot,
             nrmp=nrmp_spec,
@@ -152,11 +167,19 @@ class NeuPan:
             self.dune_params = jax.device_put(self.dune_params, self._device)
 
         # --- jitted step ---------------------------------------------------
+        # G/h are passed as ARGUMENTS, not closed over: a jitted function
+        # that captures a pre-existing device array as a closure constant
+        # permanently degrades the axon (tunneled TPU) dispatch path for the
+        # whole process (~2.4 ms added to EVERY subsequent executable call;
+        # measured in scripts/exp_dispatch_trigger.py).  Trace-time-created
+        # constants (jnp.eye inside jit, captured numpy arrays) are embedded
+        # as HLO literals and are safe; pre-existing jax Arrays are hoisted
+        # into hidden runtime arguments, which trips the slow path.
         spec = self.spec
 
-        def _step(dune_params, adjust, nom_s, nom_u, ref_s, ref_us,
+        def _step(dune_params, G, h, adjust, nom_s, nom_u, ref_s, ref_us,
                   points, velocities, mask, state):
-            return pan_forward(spec, dune_params, self.G, self.h, adjust,
+            return pan_forward(spec, dune_params, G, h, adjust,
                                nom_s, nom_u, ref_s, ref_us,
                                points, velocities, mask, state)
 
@@ -266,7 +289,7 @@ class NeuPan:
         pts, vels, mask = self._pad_points(points, velocities)
 
         out = self._step(
-            self.dune_params, self.adjust,
+            self.dune_params, self.G, self.h, self.adjust,
             jnp.asarray(nom_s, jnp.float32), jnp.asarray(nom_u, jnp.float32),
             jnp.asarray(ref_s, jnp.float32), jnp.asarray(ref_us, jnp.float32),
             pts, vels, mask, self.pan_state,
@@ -322,7 +345,16 @@ class NeuPan:
                 self.adjust = self._saved_adjust
                 self._saved_adjust = None
             return
-        if float(np.abs(action).max()) < self.stuck_action_eps:
+        # Stall metric: for omni kinematics action[1] is an ORIENTATION,
+        # not a rate — a stalled robot commanding zero speed with nonzero
+        # heading would never trip a max(|action|) test (advisor round-3
+        # finding).  Speed (action[0]) is the stall signal for omni; for
+        # diff/acker both components are rates and either moves the robot.
+        if self.robot.kinematics == "omni":
+            stalled = abs(float(action[0, 0])) < self.stuck_action_eps
+        else:
+            stalled = float(np.abs(action).max()) < self.stuck_action_eps
+        if stalled:
             self._stuck_count += 1
         else:
             self._stuck_count = 0

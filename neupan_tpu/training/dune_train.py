@@ -60,8 +60,13 @@ class DuneTrainer:
     """Offline trainer for one robot geometry (G, h)."""
 
     def __init__(self, G: np.ndarray, h: np.ndarray, checkpoint_path: str):
-        self.G = jnp.asarray(G, jnp.float32)
-        self.h = jnp.asarray(h, jnp.float32)
+        # Kept as NUMPY on purpose: these are closed over by jitted epoch /
+        # eval functions, and captured numpy constants become HLO literals
+        # while captured device arrays would be hoisted into hidden runtime
+        # arguments — which permanently degrades the axon TPU dispatch path
+        # for the whole process (see planner.py:_step).
+        self.G = np.asarray(G, np.float32)
+        self.h = np.asarray(h, np.float32)
         self.checkpoint_path = checkpoint_path
         os.makedirs(checkpoint_path, exist_ok=True)
 
@@ -238,11 +243,17 @@ class DuneTrainer:
         for ds in data_size_list:
             key, dk, rk = jax.random.split(key, 3)
             pts, mu, dist = self.generate_dataset(ds, data_range, dk)
-            # warmup + timing
+            # warmup + timing, averaged over a loop: a single timed call
+            # measures Python/dispatch overhead at small batch, not kernel
+            # time (the reference harness it mirrors averages too,
+            # reference dune_train.py:511-513).
+            n_timing = 10
             fwd(params, pts).block_until_ready()
             t0 = time.time()
-            out = fwd(params, pts).block_until_ready()
-            dt = time.time() - t0
+            for _ in range(n_timing):
+                out = fwd(params, pts)
+            out.block_until_ready()
+            dt = (time.time() - t0) / n_timing
             losses = np.asarray(
                 jax.jit(eval_fn := (lambda p, a, b, c, k:
                         jnp.stack(_loss_terms(p, a, b, c, self.G, self.h,

@@ -32,8 +32,11 @@ def polygon_distance_labels(G: jnp.ndarray, h: jnp.ndarray, points: jnp.ndarray)
     Returns:
         mu: (N, E) optimal duals, d: (N,) optimal values.
     """
+    # Callers may pass numpy G/h (kept numpy for jit-closure hygiene,
+    # docs/AXON_DISPATCH.md); coerce here so tracer indexing works.
+    G = jnp.asarray(G)
     E = G.shape[0]
-    hv = h.reshape(-1)
+    hv = jnp.asarray(h).reshape(-1)
 
     # polygon vertices: intersection of consecutive edges i, i+1
     def edge_vertex(i, j):
@@ -112,8 +115,9 @@ def dual_ascent_labels(G: jnp.ndarray, h: jnp.ndarray, points: jnp.ndarray,
     Independent of the geometric shortcut; used to cross-validate labels and
     as the TPU-friendly fallback for geometries given directly as (G, h).
     """
+    G = jnp.asarray(G)
     E = G.shape[0]
-    hv = h.reshape(-1)
+    hv = jnp.asarray(h).reshape(-1)
     grad = points @ G.T - hv[None, :]                        # (N, E) = (Gp - h)'
 
     def body(mu, _):

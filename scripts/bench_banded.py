@@ -73,7 +73,11 @@ def main(B=256):
     for T in (10, 30):
         Ms, spec = make_M(T, B)
         n = Ms.shape[-1]
-        perm = jnp.asarray(banded.nrmp_permutation(T))
+        # numpy on purpose: a closure-captured jax Array permanently
+        # degrades axon dispatch (scripts/exp_dispatch_trigger.py) — and
+        # DID: the round-3 "dense 4.82 ms" figure in BENCH_BANDED.json was
+        # measured in the degraded mode this very capture triggered.
+        perm = banded.nrmp_permutation(T)
 
         def _dense(M):
             with jax.default_matmul_precision("highest"):

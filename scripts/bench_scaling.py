@@ -139,18 +139,21 @@ def main():
         jax.block_until_ready((argsb, state))
         t_h2d = time.perf_counter() - t0
 
-        def step(*a):
+        # device arrays as arguments, not closure constants (captured jax
+        # Arrays trip the axon degraded dispatch mode; see
+        # scripts/exp_dispatch_trigger.py)
+        def step(params, G, h, adjust, *a):
             return sharded_planner_step(spec, mesh, params, G, h, adjust, *a)
 
         step = jax.jit(step)
         t0 = time.perf_counter()
-        out = step(*argsb, state)
+        out = step(params, G, h, adjust, *argsb, state)
         jax.block_until_ready(out)
         t_compile = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            out = step(*argsb, out.state)
+            out = step(params, G, h, adjust, *argsb, out.state)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         sps = B * args.iters / dt

@@ -1,0 +1,146 @@
+"""Formulation gap: shipped (regularized) solve vs the REFERENCE problem.
+
+VERDICT round-3 item #3.  The shipped NRMP adds reg_u/reg_d proximal/ridge
+terms to the reference objective (NRMPSpec.reg_u — the reference's own
+proximal covers s only, reference robot/robot.py:172-180).  The optimality
+contract (exp_control_accuracy.py) certifies our solver against an oracle
+of the REGULARIZED problem; this script closes the remaining gap by
+measuring, on the real corridor/diff episode,
+
+    |u0_shipped  -  u0_oracle(reg_u = reg_d = 0)|
+
+i.e. the commanded action of the deployed path against a float64
+trust-constr oracle of the reference's EXACT formulation, plus the pure
+formulation shift |u0_oracle(reg) - u0_oracle(0)| that isolates how much
+of the distance is the regularization itself vs solver error.
+
+Output: a distribution summary + PASS/FAIL against the BASELINE.md target
+(p90 <= 1e-3 vs the unregularized formulation).
+"""
+import dataclasses
+import json
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+from neupan_tpu.config import load_planner_config
+from neupan_tpu.ops.dune import dune_forward, generate_point_flow
+from neupan_tpu.ops.nrmp import (build_qp, coefficients_from_dune,
+                                 unpack_solution)
+from neupan_tpu.ops.qp import solve_qp
+from neupan_tpu.planner import NeuPan
+from neupan_tpu.sim.env_loader import load_env
+from scripts.exp_control_accuracy import scipy_soft_oracle
+
+
+def build_step_qps(planner, state, pts_np):
+    """(regularized qp, reg0 qp) for the current planner state."""
+    spec = planner.spec
+    nom_s, nom_u, ref_s, ref_us = planner.ipath.generate_nom_ref_state(
+        state, planner.cur_vel_array, planner.ref_speed)
+    pts, vels, mask = planner._pad_points(pts_np, None)
+    nom_s_j = jnp.asarray(nom_s, jnp.float32)
+    nom_u_j = jnp.asarray(nom_u, jnp.float32)
+    pf, R_all, glob = generate_point_flow(nom_s_j, pts, vels, spec.robot.dt)
+    vertices = (jnp.asarray(spec.robot.vertices, jnp.float32)
+                if spec.dune_select == "exact" else None)
+    dune = dune_forward(planner.dune_params, planner.G, planner.h, pf, R_all,
+                        glob, mask, spec.nrmp.K, select=spec.dune_select,
+                        vertices=vertices)
+    fa, fb = coefficients_from_dune(spec.nrmp, dune.mu_k, dune.lam_k,
+                                    dune.points_k, dune.valid_k, planner.h,
+                                    jnp.any(mask))
+    A_dyn, B_dyn, C_dyn = spec.robot.linearize(nom_s_j, nom_u_j)
+    args = (nom_s_j, nom_u_j, jnp.asarray(ref_s, jnp.float32),
+            jnp.asarray(ref_us, jnp.float32), A_dyn, B_dyn, C_dyn, fa, fb)
+    qp_reg = build_qp(spec.nrmp, planner.adjust, *args)
+    nrmp0 = dataclasses.replace(spec.nrmp, reg_u=0.0, reg_d=0.0)
+    qp_ref = build_qp(nrmp0, planner.adjust, *args)
+    return qp_reg, qp_ref
+
+
+def main():
+    base = os.path.join(REPO, "examples/corridor/diff")
+    cfg = load_planner_config(os.path.join(base, "planner.yaml"))
+    planner = NeuPan(**cfg)
+    env = load_env(os.path.join(base, "env.yaml"), planner.robot)
+    spec = planner.spec
+
+    max_steps = int(os.environ.get("STEPS", "210"))
+    check_every = int(os.environ.get("EVERY", "5"))
+    d_ship, d_form = [], []
+    for i in range(max_steps):
+        state = env.get_robot_state()
+        scan = env.get_lidar_scan()
+        pts_np = planner.scan_to_point(state, scan)
+        if planner.ipath.check_arrive(state):
+            print(f"arrived at step {i}")
+            break
+
+        if i % check_every == 0:
+            qp_reg, qp_ref = build_step_qps(planner, state, pts_np)
+            # deployed path: our solver, warm-started, regularized problem
+            sol = solve_qp(qp_reg, spec.admm,
+                           planner.pan_state.x_warm, planner.pan_state.y_warm)
+            _, u_ship, _ = unpack_solution(spec.nrmp, sol.x)
+            # f64 oracles of both formulations
+            x_ref0 = scipy_soft_oracle(qp_ref)     # the REFERENCE problem
+            x_refr = scipy_soft_oracle(qp_reg)
+            _, u_ref0, _ = unpack_solution(spec.nrmp,
+                                           jnp.asarray(x_ref0, jnp.float32))
+            _, u_refr, _ = unpack_solution(spec.nrmp,
+                                           jnp.asarray(x_refr, jnp.float32))
+            a = float(np.abs(np.asarray(u_ship)[:, 0]
+                             - np.asarray(u_ref0)[:, 0]).max())
+            b = float(np.abs(np.asarray(u_refr)[:, 0]
+                             - np.asarray(u_ref0)[:, 0]).max())
+            d_ship.append(a)
+            d_form.append(b)
+            print(f"step {i:3d}: |u0_shipped - u0_ref-form|={a:.2e}   "
+                  f"pure formulation shift={b:.2e}", flush=True)
+
+        action, info = planner(state, pts_np)
+        if info["arrive"]:
+            print(f"arrived at step {i}")
+            break
+        env.step(action)
+
+    d_ship_a, d_form_a = np.asarray(d_ship), np.asarray(d_form)
+    rec = {
+        "metric": "u0_distance_vs_unregularized_reference_formulation",
+        "steps_checked": len(d_ship),
+        "shipped_vs_ref_form": {
+            "p50": float(np.percentile(d_ship_a, 50)),
+            "p90": float(np.percentile(d_ship_a, 90)),
+            "max": float(d_ship_a.max()),
+        },
+        "pure_formulation_shift": {
+            "p50": float(np.percentile(d_form_a, 50)),
+            "p90": float(np.percentile(d_form_a, 90)),
+            "max": float(d_form_a.max()),
+        },
+    }
+    print(json.dumps(rec, indent=1))
+    ok = rec["shipped_vs_ref_form"]["p90"] <= 1e-3
+    print(("PASS" if ok else "FAIL") +
+          ": p90 |u0_shipped - u0_oracle(reg=0)| <= 1e-3 "
+          "(BASELINE.md control-error target against the reference's exact "
+          "formulation)")
+    out = os.path.join(REPO, "BENCH_FORMULATION_GAP.json")
+    with open(out, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

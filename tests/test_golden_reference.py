@@ -135,16 +135,26 @@ def test_dune_forward_matches_reference(ref_modules):
     dune, mu_l, lam_l, sp_l = _run_reference_dune(
         ref_modules, robot, pf, R_all, glob)
 
+    # Columns are aligned BY POINT IDENTITY before comparing: both sides
+    # sort by an f32 learned distance, and near-ties flip order depending
+    # on thread-count-dependent CPU matmul rounding (observed as a suite-
+    # order-dependent flake).  With k == P the kept set is identical, so
+    # identity alignment tests exactly the math without depending on the
+    # tie-break.
     for t in range(robot.T + 1):
+        ours_pts = np.asarray(ours.points_k[t])          # (2, P)
+        ref_pts = sp_l[t].numpy()                        # (2, P)
+        d2 = ((ours_pts[:, :, None] - ref_pts[:, None, :]) ** 2).sum(0)
+        col = np.argmin(d2, axis=1)                      # ours col -> ref col
+        assert len(set(col.tolist())) == P, f"ambiguous alignment frame {t}"
+        np.testing.assert_allclose(ours_pts, ref_pts[:, col], atol=3e-5,
+                                   err_msg=f"sorted points frame {t}")
         np.testing.assert_allclose(np.asarray(ours.mu_k[t]),
-                                   mu_l[t].numpy(), atol=3e-5,
+                                   mu_l[t].numpy()[:, col], atol=3e-5,
                                    err_msg=f"mu frame {t}")
         np.testing.assert_allclose(np.asarray(ours.lam_k[t]),
-                                   lam_l[t].numpy(), atol=3e-5,
+                                   lam_l[t].numpy()[:, col], atol=3e-5,
                                    err_msg=f"lam frame {t}")
-        np.testing.assert_allclose(np.asarray(ours.points_k[t]),
-                                   sp_l[t].numpy(), atol=3e-5,
-                                   err_msg=f"sorted points frame {t}")
     np.testing.assert_allclose(float(ours.min_distance),
                                float(dune.min_distance), atol=3e-5)
 
