@@ -7,7 +7,7 @@ planner config it loads).
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = os.environ.get("NEUPAN_PLATFORM", "cpu")  # hard-set: ambient axon otherwise leaks in (docs/AXON_DISPATCH.md)
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -11,7 +11,7 @@ over-conservative settings.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = os.environ.get("NEUPAN_PLATFORM", "cpu")  # hard-set: ambient axon otherwise leaks in (docs/AXON_DISPATCH.md)
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, REPO)
 
@@ -78,7 +78,22 @@ def run_episode(planner, tuner, base):
     return losses
 
 
+def _composite_info_loss(info, planner):
+    """The composite loss computed from planner outputs (no gradients),
+    for the fixed-semantics before/after evaluation."""
+    state_loss = float(jnp.mean(
+        (info["state_tensor"] - info["ref_state_tensor"]) ** 2))
+    speed_loss = float(jnp.mean(
+        (info["vel_tensor"][0, :] - info["ref_speed_tensor"]) ** 2))
+    d_loss = float(distance_loss(
+        info["distance_tensor"], jnp.asarray(planner.min_distance),
+        collision_threshold=0.5))
+    return state_loss + speed_loss + d_loss
+
+
 if __name__ == "__main__":
+    from LON_corridor import eval_episode
+
     here = os.path.dirname(os.path.abspath(__file__))
     planner = NeuPan.init_from_yaml(os.path.join(here, "planner_02.yaml"))
     # LON owns the stuck behavior through its loss (reference
@@ -90,6 +105,16 @@ if __name__ == "__main__":
     base = os.path.join(REPO, "examples", "corridor", "diff")
 
     save = os.environ.get("LON_SAVE")
+
+    def emit(line):
+        print(line, flush=True)
+        if save:
+            with open(save, "a") as f:
+                print(line, file=f)
+
+    base_eval = eval_episode(planner, base, info_loss=_composite_info_loss)
+    emit(f"BASELINE (untuned): {base_eval}")
+
     for epoch in range(EPOCHS):
         losses = run_episode(planner, tuner, base)
         adj = planner.adjust
@@ -98,7 +123,17 @@ if __name__ == "__main__":
                 f"mean_loss={np.mean(losses) if losses else 0:.4f} "
                 f"p_u={float(adj.p_u):.4f} eta={float(adj.eta):.4f} "
                 f"d_max={float(adj.d_max):.4f}")
-        print(line, flush=True)
-        if save:
-            with open(save, "a") as f:
-                print(line, file=f)
+        emit(line)
+
+    final_eval = eval_episode(planner, base, info_loss=_composite_info_loss)
+    emit(f"FINAL (tuned, frozen): {final_eval}")
+    improved = (final_eval["mean_step_loss"] <= base_eval["mean_step_loss"]
+                and not final_eval["collided"]
+                and final_eval["steps_to_arrive"] is not None)
+    emit(f"IMPROVED: {improved} (mean_step_loss "
+         f"{base_eval['mean_step_loss']:.3f} -> "
+         f"{final_eval['mean_step_loss']:.3f}, min_clearance "
+         f"{base_eval['min_clearance']:.3f} -> "
+         f"{final_eval['min_clearance']:.3f}, steps_to_arrive "
+         f"{base_eval['steps_to_arrive']} -> "
+         f"{final_eval['steps_to_arrive']})")

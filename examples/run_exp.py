@@ -9,7 +9,7 @@ import argparse
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", os.environ.get("NEUPAN_PLATFORM", "cpu"))
+os.environ["JAX_PLATFORMS"] = os.environ.get("NEUPAN_PLATFORM", "cpu")  # hard-set: ambient axon otherwise leaks in (docs/AXON_DISPATCH.md)
 if os.environ.get("JAX_PLATFORMS") == "axon":
     os.environ["JAX_PLATFORMS"] = "tpu,cpu"
 

@@ -205,30 +205,64 @@ class DuneTrainer:
 
         eval_losses = jax.jit(eval_losses)
 
+        # progress display parity with the reference's rich Live/Progress
+        # (reference dune_train.py:77-79): a live bar + latest losses when
+        # stdout is a terminal; plain results.txt logging always happens.
+        progress = None
+        task = None
+        try:
+            import sys as _sys
+
+            if _sys.stdout.isatty():
+                from rich.progress import (BarColumn, Progress, TextColumn,
+                                           TimeRemainingColumn)
+
+                progress = Progress(
+                    TextColumn("[bold]DUNE[/bold]"), BarColumn(),
+                    TextColumn("{task.completed}/{task.total}"),
+                    TimeRemainingColumn(),
+                    TextColumn("{task.fields[losses]}"))
+                task = progress.add_task("train", total=epoch + 1,
+                                         losses="")
+                progress.start()
+        except Exception:
+            progress = None
+
         full_model_name = None
         loss_list = []
-        for i in range(epoch + 1):
-            key, ek, vk = jax.random.split(key, 3)
-            params, opt_state, tr = epoch_step(params, opt_state, ek, train)
-            tr = np.asarray(tr)
+        try:
+            for i in range(epoch + 1):
+                key, ek, vk = jax.random.split(key, 3)
+                params, opt_state, tr = epoch_step(params, opt_state, ek,
+                                                   train)
+                tr = np.asarray(tr)
 
-            if i % valid_freq == 0:
-                va = np.asarray(eval_losses(params, valid, vk))
-                cur_lr = float(sched(i * n_batches))
-                self._log(
-                    f"Epoch {i}/{epoch} lr {cur_lr:.2e} | "
-                    f"mu {tr[0]:.2e}/{va[0]:.2e} dist {tr[1]:.2e}/{va[1]:.2e} "
-                    f"fa {tr[2]:.2e}/{va[2]:.2e} fb {tr[3]:.2e}/{va[3]:.2e}")
+                if i % valid_freq == 0:
+                    va = np.asarray(eval_losses(params, valid, vk))
+                    cur_lr = float(sched(i * n_batches))
+                    self._log(
+                        f"Epoch {i}/{epoch} lr {cur_lr:.2e} | "
+                        f"mu {tr[0]:.2e}/{va[0]:.2e} "
+                        f"dist {tr[1]:.2e}/{va[1]:.2e} "
+                        f"fa {tr[2]:.2e}/{va[2]:.2e} fb {tr[3]:.2e}/{va[3]:.2e}",
+                        console=progress is None)
 
-            if i % save_freq == 0:
-                full_model_name = os.path.join(
-                    self.checkpoint_path, f"model_{i}.npz")
-                obs_point_net.save_checkpoint(full_model_name, params)
+                if i % save_freq == 0:
+                    full_model_name = os.path.join(
+                        self.checkpoint_path, f"model_{i}.npz")
+                    obs_point_net.save_checkpoint(full_model_name, params)
 
-            loss_list.append(float(tr.sum()))
-            if save_loss:
-                np.save(os.path.join(self.checkpoint_path, "loss.npy"),
-                        np.asarray(loss_list))
+                loss_list.append(float(tr.sum()))
+                if save_loss:
+                    np.save(os.path.join(self.checkpoint_path, "loss.npy"),
+                            np.asarray(loss_list))
+                if progress is not None:
+                    progress.update(task, advance=1,
+                                    losses=f"mu {tr[0]:.1e} d {tr[1]:.1e} "
+                                           f"fa {tr[2]:.1e} fb {tr[3]:.1e}")
+        finally:
+            if progress is not None:
+                progress.stop()
 
         return params, full_model_name
 
@@ -267,7 +301,8 @@ class DuneTrainer:
                 print(results[-1], file=f)
         return results
 
-    def _log(self, msg: str):
-        print(msg)
+    def _log(self, msg: str, console: bool = True):
+        if console:
+            print(msg)
         with open(os.path.join(self.checkpoint_path, "results.txt"), "a") as f:
             print(msg, file=f)

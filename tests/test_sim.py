@@ -216,3 +216,28 @@ def test_renderer_frames_and_gif(tmp_path):
     import os
     assert os.path.getsize(out) > 0
     r.close()
+
+
+def test_orca_head_on_agents_avoid_each_other():
+    """Two rvo agents driving head-on must pass without overlapping —
+    the ORCA half-plane construction + incremental LP (sim.Behavior),
+    which replaced the round-3 reciprocal-repulsion stand-in."""
+    from neupan_tpu.sim import Behavior
+
+    a = circle_obstacle(0.0, 0.0, 0.4)
+    b = circle_obstacle(6.0, 0.05, 0.4)
+    ba = Behavior("rvo", max_speed=1.0, rng=np.random.default_rng(1))
+    bb = Behavior("rvo", max_speed=1.0, rng=np.random.default_rng(2))
+    a.behavior, b.behavior = ba, bb
+    dt = 0.1
+    min_d = np.inf
+    for _ in range(120):
+        ba.goal = np.array([[6.0], [0.0]])
+        bb.goal = np.array([[0.0], [0.0]])
+        ba.update(a, [a, b], dt)
+        bb.update(b, [a, b], dt)
+        a.step(dt)
+        b.step(dt)
+        min_d = min(min_d, float(np.linalg.norm(a.center - b.center)))
+    assert min_d > 0.78          # sum of radii = 0.8: grazing, no overlap
+    assert float(a.center[0]) > 5.0 and float(b.center[0]) < 1.0  # both pass
