@@ -99,6 +99,15 @@ class NeuPan:
             pan_kwargs = dict(pan_kwargs,
                               admm_warm_iters=admm_kwargs.pop("warm_iters"))
 
+        if os.environ.get("NEUPAN_NRMP_JSON"):
+            # same qualification hook for NRMPSpec fields (reg_u/reg_d
+            # ladder, scripts/exp_formulation_gap.py) — announced loudly for
+            # the same leftover-export reason as NEUPAN_ADMM_JSON above.
+            import json
+            print(f"NeuPan: NEUPAN_NRMP_JSON override active: "
+                  f"{os.environ['NEUPAN_NRMP_JSON']}")
+            adjust_kwargs = dict(adjust_kwargs,
+                                 **json.loads(os.environ["NEUPAN_NRMP_JSON"]))
         nrmp_spec = NRMPSpec(
             T=receding,
             K=int(nrmp_max_num),

@@ -14,8 +14,18 @@ trust-constr oracle of the reference's EXACT formulation, plus the pure
 formulation shift |u0_oracle(reg) - u0_oracle(0)| that isolates how much
 of the distance is the regularization itself vs solver error.
 
-Output: a distribution summary + PASS/FAIL against the BASELINE.md target
-(p90 <= 1e-3 vs the unregularized formulation).
+Output: a distribution summary + two explicit gates:
+
+  * optimality gate — the shipped point must be epsilon-optimal for the
+    REFERENCE objective (reg=0): relative objective gap <= 1e-4 and hard
+    feasibility <= 2e-3 on every checked step;
+  * action gate — |u0_shipped - u0_oracle(reg=0)| p90 <= 1e-2 (the
+    round-5 target; the original BASELINE.json ambition is 1e-3).  The
+    face-diameter probe (round 4) showed the reference problem determines
+    u0 to ~5e-4, so the action distance is a REAL formulation-induced
+    deviation that shrinks ~linearly with reg_u/reg_d — run the reg
+    ladder with NEUPAN_NRMP_JSON='{"reg_u": ..., "reg_d": ...}' to find
+    the smallest reg the solver still converges at.
 """
 import dataclasses
 import json
@@ -170,6 +180,8 @@ def main():
 
     rec = {
         "metric": "optimality_vs_unregularized_reference_formulation",
+        "reg_u": float(spec.nrmp.reg_u),
+        "reg_d": float(spec.nrmp.reg_d),
         "steps_checked": len(d_ship),
         "shipped_vs_ref_form_u0": summ(d_ship),
         "pure_formulation_shift_u0": summ(d_form),
@@ -178,19 +190,27 @@ def main():
         "ref_hard_violation_of_shipped": summ(viols0),
     }
     print(json.dumps(rec, indent=1))
-    # The decisive certification: the SHIPPED point must be epsilon-optimal
-    # for the REFERENCE objective (reg = 0) and feasible.  Raw action
-    # distance to one particular oracle is NOT assertable: the reference
-    # problem is degenerate (omega/d carry no quadratic term), and the
-    # face-diameter probe shows two exact f64 solvers of the SAME reg=0
-    # problem disagree by the same magnitude as we do.
-    ok = (rec["ref_objective_gap_of_shipped"]["max"] <= 1e-4
-          and rec["ref_hard_violation_of_shipped"]["max"] <= 2e-3)
-    print(("PASS" if ok else "FAIL") +
-          ": shipped actions are epsilon-optimal for the REFERENCE "
-          "formulation (reg=0 objective gap <= 1e-4, feasibility <= 2e-3 "
-          "on every checked step); u0 distances are reported with the "
-          "degenerate-face diameter for context")
+    # Two gates.  (1) Optimality: the SHIPPED point must be epsilon-optimal
+    # for the REFERENCE objective (reg = 0) and feasible.  (2) Action: the
+    # face-diameter probe (two exact f64 solvers of the same reg=0 problem,
+    # one warm-started from our point) agrees to ~5e-4 max — i.e. the
+    # reference problem essentially DETERMINES u0, and any larger
+    # |u0_shipped - u0_oracle(0)| is a real, formulation-induced action
+    # deviation carried by the regularization (the pure-formulation-shift
+    # column is numerically identical to it).  It is therefore assertable,
+    # and shrinks with reg_u/reg_d.
+    ok_opt = (rec["ref_objective_gap_of_shipped"]["max"] <= 1e-4
+              and rec["ref_hard_violation_of_shipped"]["max"] <= 2e-3)
+    ok_act = rec["shipped_vs_ref_form_u0"]["p90"] <= 1e-2
+    print(("PASS" if ok_opt else "FAIL") +
+          "(optimality): shipped actions are epsilon-optimal for the "
+          "REFERENCE formulation (reg=0 objective gap <= 1e-4, feasibility "
+          "<= 2e-3 on every checked step)")
+    print(("PASS" if ok_act else "FAIL") +
+          f"(action): |u0_shipped - u0_ref-form| p90 = "
+          f"{rec['shipped_vs_ref_form_u0']['p90']:.2e} vs <= 1e-2 "
+          f"(target 1e-3) at reg_u={spec.nrmp.reg_u:g}, "
+          f"reg_d={spec.nrmp.reg_d:g}")
     out = os.path.join(REPO, "BENCH_FORMULATION_GAP.json")
     with open(out, "w") as f:
         json.dump(rec, f, indent=1)
