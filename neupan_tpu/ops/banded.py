@@ -164,8 +164,20 @@ def btd_spd_inverse(M: jnp.ndarray, perm: jnp.ndarray, b: int,
     else:
         Mp_pad = Mp
     eye_p = jnp.eye(npad, dtype=M.dtype)
+    # Guarded Hotelling: X <- X + X(I - Mp X) converges only while the
+    # residual spectral radius is < 1; on a matrix outside the qualified
+    # set a sweep can DIVERGE and silently return garbage (advisor
+    # round-4).  Each sweep is therefore accept-if-improved on the cheap
+    # inf-norm residual (one extra matmul): a diverging sweep is dropped
+    # and the best iterate so far is returned — never worse than the raw
+    # factored inverse.  tests/test_banded.py covers the guard.
+    r_cur = jnp.max(jnp.abs(Mp_pad @ Xp - eye_p))
     for _ in range(refine):
-        Xp = Xp + Xp @ (eye_p - Mp_pad @ Xp)
+        Xn = Xp + Xp @ (eye_p - Mp_pad @ Xp)
+        r_new = jnp.max(jnp.abs(Mp_pad @ Xn - eye_p))
+        keep = r_new < r_cur
+        Xp = jnp.where(keep, Xn, Xp)
+        r_cur = jnp.where(keep, r_new, r_cur)
     inv_perm = jnp.argsort(perm)
     X = Xp[jnp.ix_(inv_perm, inv_perm)]   # back to solver coordinates
     return X * dj[:, None] * dj[None, :]

@@ -277,16 +277,23 @@ class DuneTrainer:
         for ds in data_size_list:
             key, dk, rk = jax.random.split(key, 3)
             pts, mu, dist = self.generate_dataset(ds, data_range, dk)
-            # warmup + timing, averaged over a loop: a single timed call
-            # measures Python/dispatch overhead at small batch, not kernel
-            # time (the reference harness it mirrors averages too,
-            # reference dune_train.py:511-513).
+            # warmup + timing, averaged over a CHAINED loop with a single
+            # terminal device->host read (the reference harness it mirrors
+            # averages too, reference dune_train.py:511-513).  Each call's
+            # input depends on the previous call's output so calls cannot
+            # overlap or be elided, and the terminal read forces the true
+            # queue drain — on the axon TPU tunnel `block_until_ready`
+            # returns at enqueue-ACK and unchained identical calls can
+            # dedup/overlap (docs/AXON_DISPATCH.md, advisor round-4).
             n_timing = 10
-            fwd(params, pts).block_until_ready()
+            out = fwd(params, pts)
+            _ = np.asarray(out[0, 0])  # warmup incl. drain
             t0 = time.time()
+            cur = pts
             for _ in range(n_timing):
-                out = fwd(params, pts)
-            out.block_until_ready()
+                out = fwd(params, cur)
+                cur = pts + 1e-30 * out[:, :2]
+            _ = np.asarray(out[0, 0])  # terminal read: true completion
             dt = (time.time() - t0) / n_timing
             losses = np.asarray(
                 jax.jit(eval_fn := (lambda p, a, b, c, k:
