@@ -74,7 +74,8 @@ def dune_forward(params, G: jnp.ndarray, h: jnp.ndarray,
                  point_flow: jnp.ndarray, R_all: jnp.ndarray,
                  points_glob: jnp.ndarray, mask: jnp.ndarray,
                  k: int, use_pallas: bool = False, select: str = "mlp",
-                 vertices: Optional[jnp.ndarray] = None) -> DuneOutput:
+                 vertices: Optional[jnp.ndarray] = None,
+                 mlp_pallas: Optional[bool] = None) -> DuneOutput:
     """Map the point flow to latent distance-space duals, keeping top-k.
 
     mu = MLP(p0);  lam = -R G' mu;  d = mu'(G p0 - h)   (dune.py:78-127)
@@ -91,15 +92,21 @@ def dune_forward(params, G: jnp.ndarray, h: jnp.ndarray,
         near-ties; the returned mu/lam/dist are still the learned ones on
         the selected points (NRMP parity preserved).
 
-    ``use_pallas`` routes the MLP through the fused Pallas kernel
-    (ops/pallas/mlp.py); measured slower than XLA on TPU for this MLP, kept
-    for experimentation.
+    ``use_pallas`` routes the top-k SELECTION through the fused Pallas
+    distance-rank kernel (ops/pallas/select.py; measured 3x faster than
+    XLA and exactly faithful to the f64 ordering).  ``mlp_pallas``
+    separately routes the MLP through the fused Pallas kernel
+    (ops/pallas/mlp.py); None inherits ``use_pallas`` for backward
+    compatibility — PANSpec.use_dune_mlp_pallas() decides the shipped
+    value from measurement (scripts/exp_mlp_ab.py).
     """
     Tp1, _, P = point_flow.shape
     E = G.shape[0]
+    if mlp_pallas is None:
+        mlp_pallas = use_pallas
 
     def run_mlp(pts_batch):
-        if use_pallas:
+        if mlp_pallas:
             from neupan_tpu.ops.pallas.mlp import dune_mlp_pallas
 
             flat = pts_batch.reshape(-1, 2)

