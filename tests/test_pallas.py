@@ -110,3 +110,52 @@ def test_select_topk_kernel_grad_through_gather():
     g = jax.grad(loss)(pf)
     nz = np.count_nonzero(np.asarray(g))
     assert 0 < nz <= Tp1 * 2 * K
+
+
+def test_sweep_inverse_matches_f64_and_gj():
+    """Batched sweep-operator inverse (interpret mode) == f64 inverse ==
+    the XLA Gauss-Jordan it replaces on the TPU batched path."""
+    from neupan_tpu.ops.pallas.sweep import sweep_spd_inverse
+    from neupan_tpu.ops import qp as qp_mod
+
+    rng = np.random.default_rng(0)
+    for B, n in [(4, 30), (130, 18), (7, 33)]:
+        Q = rng.normal(size=(B, n, n))
+        M = Q @ np.swapaxes(Q, 1, 2) / n + np.eye(n)[None]
+        dj = 1 / np.sqrt(np.abs(np.einsum("bii->bi", M)))
+        Mt = M * dj[:, :, None] * dj[:, None, :] + 1e-7 * np.eye(n)[None]
+        Mt32 = jnp.asarray(Mt, jnp.float32)
+        X = np.asarray(sweep_spd_inverse(Mt32, interpret=True))
+        assert X.shape == (B, n, n)
+        X64 = np.linalg.inv(Mt)
+        rel = np.abs(X - X64).max() / np.abs(X64).max()
+        assert rel < 3e-5, (B, n, rel)
+        Xgj = np.asarray(qp_mod._gj_inverse_scaled(Mt32))
+        np.testing.assert_allclose(X, Xgj, rtol=1e-4, atol=1e-5)
+
+
+def test_sweep_inverse_stiff_nrmp_matrix():
+    """The sweep path must match the GJ path on the real rho_eq-stiffened
+    condensed NRMP normal matrices (the production input)."""
+    from neupan_tpu.ops.pallas.sweep import sweep_spd_inverse
+    from neupan_tpu.ops import qp as qp_mod
+    from tests.test_qp_condensed import (layout_cfg, make_flagship_instance,
+                                         _condensed_normal_matrix)
+
+    Ms = []
+    for seed in range(3):
+        spec, qp, elim, _ = make_flagship_instance(seed, contact=True)
+        cfg = layout_cfg(spec)
+        with jax.default_matmul_precision("highest"):
+            Ms.append(_condensed_normal_matrix(spec, qp, elim, cfg))
+    M = jnp.stack(Ms)
+    n = M.shape[-1]
+    dj = jax.lax.rsqrt(jnp.abs(jnp.diagonal(M, axis1=-2, axis2=-1)) + 1e-30)
+    Mt = M * dj[:, :, None] * dj[:, None, :] + 1e-7 * jnp.eye(n)
+    with jax.default_matmul_precision("highest"):
+        Xs = np.asarray(sweep_spd_inverse(Mt, interpret=True))
+        Xg = np.asarray(qp_mod._gj_inverse_scaled(Mt))
+    resid = np.abs(np.einsum("bij,bjk->bik", np.asarray(Mt, np.float64),
+                             Xs) - np.eye(n)).max()
+    assert resid < 5e-4, resid
+    np.testing.assert_allclose(Xs, Xg, rtol=1e-3, atol=1e-4)
