@@ -29,6 +29,7 @@ reference).  TPU-first design decisions:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -182,6 +183,14 @@ class ADMMConfig:
 # on the real rho_eq-stiffened NRMP matrices (||MX-I||_inf 9e-5 vs 5e-2).
 _GJ_MAX_N = 36
 
+# Batched-TPU sweep-kernel threshold (ops/pallas/sweep.py): the fused
+# elimination stays profitable well past the XLA-GJ crossover because it
+# pays ONE kernel launch instead of ~6n — at n=90 (the T=30 condensed
+# normal matrix) it replaces the batched cholesky+triangular custom-calls
+# whose cost is ~linear in n with a large per-column constant.  96 keeps
+# the (n, n, 128) slab + temporaries comfortably inside VMEM.
+_SWEEP_MAX_N = 96
+
 
 def _spd_inverse(M: jnp.ndarray, cfg: "ADMMConfig") -> jnp.ndarray:
     """Inverse of an SPD matrix: Jacobi scaling + ridge, then either an
@@ -202,7 +211,7 @@ def _spd_inverse(M: jnp.ndarray, cfg: "ADMMConfig") -> jnp.ndarray:
     Mt = M * dj[..., :, None] * dj[..., None, :]
     eye = jnp.eye(n, dtype=M.dtype)
     Mt = Mt + 1e-7 * eye
-    if n <= _GJ_MAX_N:
+    if n <= _SWEEP_MAX_N:
         X = _scaled_small_inverse(Mt)
     else:
         ch = jnp.linalg.cholesky(Mt)
@@ -213,21 +222,31 @@ def _spd_inverse(M: jnp.ndarray, cfg: "ADMMConfig") -> jnp.ndarray:
 
 @jax.custom_batching.custom_vmap
 def _scaled_small_inverse(Mt: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of a scaled+ridged SPD matrix, n <= _GJ_MAX_N.
+    """Inverse of a scaled+ridged SPD matrix, n <= _SWEEP_MAX_N.
 
-    Unbatched: the unrolled Gauss-Jordan (pure XLA).  Under vmap on TPU
-    (the production planner path: every solver matrix is vmapped over the
-    scenario batch) the whole elimination runs as ONE fused Pallas sweep
-    kernel (ops/pallas/sweep.py) instead of ~n*6 launch-bound XLA ops —
-    the QP forward pass performs ~18 such inverses per planner step and
-    they dominated the round-4 profile.  Accuracy is identical (the sweep
-    is the same pivot-free elimination; tests/test_pallas.py pins both
-    against f64).
+    Unbatched: the unrolled Gauss-Jordan for n <= _GJ_MAX_N, batched XLA
+    cholesky above it.  Under vmap on TPU (the production planner path:
+    every solver matrix is vmapped over the scenario batch) the whole
+    elimination runs as ONE fused Pallas sweep kernel (ops/pallas/
+    sweep.py) instead of ~n*6 launch-bound XLA ops — the QP forward pass
+    performs ~18 such inverses per planner step and they dominated the
+    round-4 profile.  Accuracy is pinned against f64 in
+    tests/test_pallas.py.
     """
     if Mt.ndim > 2:
         # direct batched call (not via vmap): route through the same rule
         return _scaled_small_inverse_batched(Mt)
-    return _gj_inverse_scaled(Mt)
+    return _scaled_small_inverse_xla(Mt)
+
+
+def _scaled_small_inverse_xla(Mt: jnp.ndarray) -> jnp.ndarray:
+    n = Mt.shape[-1]
+    if n <= _GJ_MAX_N:
+        return _gj_inverse_scaled(Mt)
+    eye = jnp.eye(n, dtype=Mt.dtype)
+    ch = jnp.linalg.cholesky(Mt)
+    return jax.scipy.linalg.cho_solve(
+        (ch, True), jnp.broadcast_to(eye, Mt.shape))
 
 
 def _scaled_small_inverse_batched(Mt: jnp.ndarray) -> jnp.ndarray:
@@ -235,7 +254,7 @@ def _scaled_small_inverse_batched(Mt: jnp.ndarray) -> jnp.ndarray:
     if jax.default_backend() == "tpu" and Mt.ndim == 3 and B >= 8:
         from neupan_tpu.ops.pallas.sweep import sweep_spd_inverse
         return sweep_spd_inverse(Mt)
-    return _gj_inverse_scaled(Mt)
+    return _scaled_small_inverse_xla(Mt)
 
 
 @_scaled_small_inverse.def_vmap
@@ -290,8 +309,9 @@ def _ruiz_equilibrate(qp: QPData, iters: int = 10):
     E = jnp.ones((m,), P.dtype)
     c = jnp.asarray(1.0, P.dtype)
 
-    def body(carry, _):
-        P, q, A, D, E, c = carry
+    # unrolled (iters is static): the tiny scan bodies are launch-bound at
+    # planner batch sizes; unrolling lets XLA fuse across sweeps
+    for _ in range(iters):
         col_norm = jnp.sqrt(jnp.maximum(
             jnp.maximum(jnp.max(jnp.abs(A), axis=0), jnp.abs(P)), 1e-8))
         row_norm = jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(A), axis=1), 1e-8))
@@ -306,10 +326,7 @@ def _ruiz_equilibrate(qp: QPData, iters: int = 10):
         gamma = jnp.clip(gamma, 1e-6, 1e6)
         P = P * gamma
         q = q * gamma
-        return (P, q, A, D * d, E * e, c * gamma), None
-
-    (P, q, A, D, E, c), _ = jax.lax.scan(
-        body, (P, q, A, D, E, c), None, length=iters)
+        D, E, c = D * d, E * e, c * gamma
     # a penalty 0.5*soft*neg(z - l)^2 written in scaled row coordinates
     # z_bar = E z picks up c (objective scaling) / E^2 (row scaling):
     soft = None if qp.soft is None else c * qp.soft / (E * E)
@@ -434,8 +451,8 @@ def _ruiz_equilibrate_dense(H, qv, A, l, u, soft, iters: int = 10):
     E = jnp.ones((m,), H.dtype)
     c = jnp.asarray(1.0, H.dtype)
 
-    def body(carry, _):
-        H, qv, A, D, E, c = carry
+    # unrolled (iters is static) — see _ruiz_equilibrate
+    for _ in range(iters):
         col_norm = jnp.sqrt(jnp.maximum(
             jnp.maximum(jnp.max(jnp.abs(A), axis=0),
                         jnp.max(jnp.abs(H), axis=0)), 1e-8))
@@ -450,52 +467,26 @@ def _ruiz_equilibrate_dense(H, qv, A, l, u, soft, iters: int = 10):
         gamma = jnp.clip(gamma, 1e-6, 1e6)
         H = H * gamma
         qv = qv * gamma
-        return (H, qv, A, D * d, E * e, c * gamma), None
-
-    (H, qv, A, D, E, c), _ = jax.lax.scan(
-        body, (H, qv, A, D, E, c), None, length=iters)
+        D, E, c = D * d, E * e, c * gamma
     soft_s = None if soft is None else c * soft / (E * E)
     return H, qv, A, E * l, E * u, soft_s, D, E, c
 
 
-def _admm_core_condensed(qp: QPData, cfg: ADMMConfig,
-                         x0: jnp.ndarray, y0: jnp.ndarray, elim,
-                         Geq_inv: jnp.ndarray):
-    """ADMM on the equality-eliminated problem (see ADMMConfig.condense_admm).
+def _condensed_phases_single(cfg: "ADMMConfig", has_soft: bool,
+                             Hs, qs, As, ls, us, soft_s, w0, y0):
+    """The condensed-ADMM phase loop on the scaled problem (one scenario).
 
-    Contract with the elimination basis (ops/nrmp.py:condensation): the
-    LAST k coordinates of x are exactly w (Z's bottom k x k block is the
-    identity and xp vanishes there), so warm starts transfer as
-    w0 = x0[-k:]; reduced duals seed from y0 with the equality rows
-    dropped.  Returns full-space (x, y, z, r_prim, r_dual) with equality
-    duals recovered from stationarity via the equality Gram inverse.
+    Extracted from _admm_core_condensed so the batched planner path can
+    swap in the fused Pallas implementation via custom_vmap (see
+    _condensed_loop); this XLA version is the unbatched/CPU reference.
     """
-    Z, xp = elim
-    n_eq = cfg.elim_n_eq
-    k = Z.shape[1]
-    P, q, A = qp.P_diag, qp.q, qp.A
-
-    # reduced problem: 0.5 w' Hr w + qr' w,  l_r <= Ar w <= u_r (+ soft)
-    Ar = A[n_eq:] @ Z                                # (m_r, k)
-    Axp = A[n_eq:] @ xp
-    l_r, u_r = _clip_bounds(qp.l[n_eq:] - Axp, qp.u[n_eq:] - Axp)
-    soft_r = None if qp.soft is None else qp.soft[n_eq:]
-    PZ = Z * P[:, None]
-    Hr = Z.T @ PZ
-    qr = Z.T @ (q + P * xp)
-
-    Hs, qs, As, ls, us, soft_s, D, E, c = _ruiz_equilibrate_dense(
-        Hr, qr, Ar, l_r, u_r, soft_r, cfg.ruiz_iters)
-    ls, us = _clip_bounds(ls, us)
+    k = Hs.shape[0]
     is_eq = (us - ls) < 1e-9
-    is_soft = None if soft_s is None else soft_s > 0.0
-
-    w0 = x0[-k:] / D
-    y0_r = c * y0[n_eq:] / E
+    is_soft = soft_s > 0.0 if has_soft else None
 
     def z_prox(v, rho):
         z_hard = jnp.clip(v, ls, us)
-        if soft_s is None:
+        if not has_soft:
             return z_hard
         z_sf = jnp.where(v >= ls, v, ls + (v - ls) * rho / (rho + soft_s))
         return jnp.where(is_soft, jnp.minimum(z_sf, us), z_hard)
@@ -532,9 +523,9 @@ def _admm_core_condensed(qp: QPData, cfg: ADMMConfig,
 
     n_phases = max(1, int(cfg.rho_updates) + 1)
     per_phase = max(cfg.iters // n_phases, 1)
-    base_rho = jnp.asarray(cfg.rho, P.dtype)
+    base_rho = jnp.asarray(cfg.rho, Hs.dtype)
     z0 = jnp.clip(As @ w0, ls, us)
-    w, z, y = w0, z0, y0_r
+    w, z, y = w0, z0, y0
     for i in range(n_phases):
         rho = jnp.where(is_eq, base_rho * cfg.rho_eq_scale, base_rho)
         iters = (per_phase if i < n_phases - 1
@@ -542,6 +533,122 @@ def _admm_core_condensed(qp: QPData, cfg: ADMMConfig,
         w, z, y = phase(w, z, y, rho, iters)
         if i < n_phases - 1:
             base_rho = rebalance(base_rho, w, z, y)
+    return w, z, y
+
+
+def _condensed_phases_batched(cfg: "ADMMConfig", has_soft: bool,
+                              Hs, qs, As, ls, us, soft_s, w0, y0):
+    """Batched phase loop: fused Pallas iteration kernel + sweep inverse.
+
+    Same math as _condensed_phases_single, restructured for the scenario
+    batch: the normal matrix build is one batched MXU einsum, its inverse
+    one sweep-kernel call (ops/pallas/sweep.py), and each phase's
+    fixed-iteration loop ONE Pallas call holding w/z/y in VMEM throughout
+    (ops/pallas/admm.py) — per-op scheduling of the scan body was the
+    dominant residual cost of the round-4 solver (BASELINE.md round 5).
+    """
+    from neupan_tpu.ops.pallas.admm import admm_iterate, admm_kernel_fits
+
+    B, m, k = As.shape
+    if not (jax.default_backend() == "tpu" and B >= 8
+            and admm_kernel_fits(k, m)):
+        return jax.vmap(
+            lambda *a: _condensed_phases_single(cfg, has_soft, *a))(
+                Hs, qs, As, ls, us, soft_s, w0, y0)
+
+    is_eq = (us - ls) < 1e-9
+    eye = jnp.eye(k, dtype=Hs.dtype)
+
+    def rebalance(base_rho, w, z, y):
+        Aw = jnp.einsum("bmk,bk->bm", As, w)
+        Hw = jnp.einsum("bij,bj->bi", Hs, w)
+        Aty = jnp.einsum("bmk,bm->bk", As, y)
+        amax = lambda v: jnp.max(jnp.abs(v), axis=-1)
+        rp = amax(Aw - z) / jnp.maximum(jnp.maximum(amax(Aw), amax(z)), 1e-6)
+        rd = amax(Hw + qs + Aty) / jnp.maximum(
+            jnp.maximum(amax(Hw), jnp.maximum(amax(Aty), amax(qs))), 1e-6)
+        scale = jnp.clip(jnp.sqrt(rp / jnp.maximum(rd, 1e-12)), 1e-2, 1e2)
+        return jnp.clip(base_rho * scale, 1e-4, 1e3)
+
+    n_phases = max(1, int(cfg.rho_updates) + 1)
+    per_phase = max(cfg.iters // n_phases, 1)
+    base_rho = jnp.full((B,), cfg.rho, Hs.dtype)
+    z0 = jnp.clip(jnp.einsum("bmk,bk->bm", As, w0), ls, us)
+    w, z, y = w0, z0, y0
+    for i in range(n_phases):
+        rho = jnp.where(is_eq, base_rho[:, None] * cfg.rho_eq_scale,
+                        base_rho[:, None])                    # (B, m)
+        M = (Hs + cfg.sigma * eye
+             + jnp.einsum("bmi,bm,bmj->bij", As, rho, As))
+        Minv = _spd_inverse(M, cfg)
+        iters = (per_phase if i < n_phases - 1
+                 else cfg.iters - per_phase * (n_phases - 1))
+        w, z, y = admm_iterate(Minv, As, qs, ls, us, soft_s, rho, w, z, y,
+                               iters=iters, sigma=float(cfg.sigma),
+                               alpha=float(cfg.alpha), has_soft=has_soft)
+        if i < n_phases - 1:
+            base_rho = rebalance(base_rho, w, z, y)
+    return w, z, y
+
+
+@functools.lru_cache(maxsize=64)
+def _condensed_loop(cfg: "ADMMConfig", has_soft: bool):
+    """custom_vmap wrapper: per-scenario callers trace the XLA loop; the
+    scenario-vmapped planner path dispatches to the fused batched
+    implementation on TPU (ops/pallas/admm.py), XLA-vmap elsewhere."""
+
+    @jax.custom_batching.custom_vmap
+    def loop(Hs, qs, As, ls, us, soft_s, w0, y0):
+        return _condensed_phases_single(cfg, has_soft, Hs, qs, As, ls, us,
+                                        soft_s, w0, y0)
+
+    @loop.def_vmap
+    def _loop_vmap(axis_size, in_batched, *args):
+        args = [a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+                for a, b in zip(args, in_batched)]
+        return (_condensed_phases_batched(cfg, has_soft, *args),
+                (True, True, True))
+
+    return loop
+
+
+def _admm_core_condensed(qp: QPData, cfg: ADMMConfig,
+                         x0: jnp.ndarray, y0: jnp.ndarray, elim,
+                         Geq_inv: jnp.ndarray):
+    """ADMM on the equality-eliminated problem (see ADMMConfig.condense_admm).
+
+    Contract with the elimination basis (ops/nrmp.py:condensation): the
+    LAST k coordinates of x are exactly w (Z's bottom k x k block is the
+    identity and xp vanishes there), so warm starts transfer as
+    w0 = x0[-k:]; reduced duals seed from y0 with the equality rows
+    dropped.  Returns full-space (x, y, z, r_prim, r_dual) with equality
+    duals recovered from stationarity via the equality Gram inverse.
+    """
+    Z, xp = elim
+    n_eq = cfg.elim_n_eq
+    k = Z.shape[1]
+    P, q, A = qp.P_diag, qp.q, qp.A
+
+    # reduced problem: 0.5 w' Hr w + qr' w,  l_r <= Ar w <= u_r (+ soft)
+    Ar = A[n_eq:] @ Z                                # (m_r, k)
+    Axp = A[n_eq:] @ xp
+    l_r, u_r = _clip_bounds(qp.l[n_eq:] - Axp, qp.u[n_eq:] - Axp)
+    soft_r = None if qp.soft is None else qp.soft[n_eq:]
+    PZ = Z * P[:, None]
+    Hr = Z.T @ PZ
+    qr = Z.T @ (q + P * xp)
+
+    Hs, qs, As, ls, us, soft_s, D, E, c = _ruiz_equilibrate_dense(
+        Hr, qr, Ar, l_r, u_r, soft_r, cfg.ruiz_iters)
+    ls, us = _clip_bounds(ls, us)
+
+    w0 = x0[-k:] / D
+    y0_r = c * y0[n_eq:] / E
+
+    has_soft = soft_s is not None
+    soft_arg = soft_s if has_soft else jnp.zeros_like(ls)
+    w, z, y = _condensed_loop(cfg, has_soft)(
+        Hs, qs, As, ls, us, soft_arg, w0, y0_r)
 
     # back to full space
     w = D * w
@@ -1111,21 +1218,23 @@ def _snap_variable_bounds(qp: QPData, x: jnp.ndarray) -> jnp.ndarray:
     A, l, u = qp.A, qp.l, qp.u
     m = A.shape[0]
     absA = jnp.abs(A)
-    nnz = jnp.sum(absA > 1e-12, axis=1)
+    nz = absA > 1e-12                                # (m, n)
+    nnz = jnp.sum(nz, axis=1)
     hard = jnp.ones((m,), bool) if qp.soft is None else ~(qp.soft > 0.0)
     is_box = (nnz == 1) & hard & (u - l >= 1e-9)  # skip eq rows (dynamics)
-    j = jnp.argmax(absA, axis=1)
-    a = A[jnp.arange(m), j]
+    # the single nonzero coefficient of each box row (mask-sum, not gather:
+    # a row-gather A[arange(m), argmax] lowered to a ~1 ms scalar-loop
+    # custom fusion at B=512 — the round-5 profile's single largest op)
+    a = jnp.sum(jnp.where(nz, A, 0.0), axis=1)
     safe_a = jnp.where(jnp.abs(a) > 1e-12, a, 1.0)
     lo = jnp.where(a > 0, l, u) / safe_a
     hi = jnp.where(a > 0, u, l) / safe_a
     lo, hi = jnp.maximum(lo, -_BIG), jnp.minimum(hi, _BIG)
-    # order-independent scatter (several rows may argmax the same variable)
-    n = x.shape[0]
-    lo_var = jnp.full((n,), -_BIG, x.dtype).at[j].max(
-        jnp.where(is_box, lo, -_BIG))
-    hi_var = jnp.full((n,), _BIG, x.dtype).at[j].min(
-        jnp.where(is_box, hi, _BIG))
+    # per-variable bounds by masked reduction over rows (order-independent,
+    # several box rows may bound the same variable)
+    sel = nz & is_box[:, None]                       # (m, n)
+    lo_var = jnp.max(jnp.where(sel, lo[:, None], -_BIG), axis=0)
+    hi_var = jnp.min(jnp.where(sel, hi[:, None], _BIG), axis=0)
     return jnp.clip(x, lo_var, hi_var)
 
 

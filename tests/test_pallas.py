@@ -159,3 +159,119 @@ def test_sweep_inverse_stiff_nrmp_matrix():
                              Xs) - np.eye(n)).max()
     assert resid < 5e-4, resid
     np.testing.assert_allclose(Xs, Xg, rtol=1e-3, atol=1e-4)
+
+
+def test_fused_admm_iterate_matches_xla_loop():
+    """The fused ADMM iteration kernel (interpret mode) must reproduce the
+    XLA phase loop it replaces: w/z to f32 tightness, y to the relative
+    level set by 50 iterations of reordered f32 accumulation (the ADMM
+    dual is only a polish seed; the polish re-derives duals exactly)."""
+    import unittest.mock as mock
+
+    import neupan_tpu.ops.pallas.admm as AD
+    import neupan_tpu.ops.pallas.sweep as SW
+    from neupan_tpu.ops import qp as Q
+    from neupan_tpu.ops.qp import ADMMConfig, _condensed_phases_single
+
+    rng = np.random.default_rng(0)
+    B, m, k = 16, 148, 30
+    Hs = rng.normal(size=(B, k, k))
+    Hs = Hs @ np.swapaxes(Hs, 1, 2) / k + np.eye(k)
+    As = rng.normal(size=(B, m, k)) * 0.3
+    qs = rng.normal(size=(B, k))
+    ls = rng.normal(size=(B, m)) - 1
+    us = ls + np.abs(rng.normal(size=(B, m))) + 0.5
+    soft = np.where(rng.uniform(size=(B, m)) < 0.5, 10.0, 0.0)
+    us = np.where(soft > 0, 1e20, us)
+    w0 = rng.normal(size=(B, k)) * 0.1
+    y0 = rng.normal(size=(B, m)) * 0.1
+    args = [jnp.asarray(a, jnp.float32)
+            for a in (Hs, qs, As, ls, us, soft, w0, y0)]
+    cfg = ADMMConfig(iters=50, rho_updates=1)
+
+    orig_it, orig_sw = AD.admm_iterate, SW.sweep_spd_inverse
+    AD.admm_iterate = lambda *a, **kw: orig_it(*a, **{**kw, "interpret": True})
+    SW.sweep_spd_inverse = lambda M, interpret=False: orig_sw(M,
+                                                              interpret=True)
+    try:
+        with jax.default_matmul_precision("highest"):
+            ref = jax.vmap(
+                lambda *a: _condensed_phases_single(cfg, True, *a))(*args)
+            with mock.patch.object(jax, "default_backend", lambda: "tpu"):
+                out = Q._condensed_phases_batched(cfg, True, *args)
+    finally:
+        AD.admm_iterate, SW.sweep_spd_inverse = orig_it, orig_sw
+
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out[2]), np.asarray(ref[2]),
+                               rtol=1e-2, atol=1e-3)
+
+
+def test_fused_flow_dune_matches_materialized_exact():
+    """dune_forward_flow (in-kernel point flow, interpret mode) must select
+    the SAME point sets as the materialized exact path and produce the
+    same per-point quantities.  Slot ORDER differs by design: the fused
+    path keeps the kernel's exact-distance order while the materialized
+    path re-sorts by learned distance (see dune_forward_flow) — the NRMP
+    problem is slot-order invariant, so the comparison aligns slots by
+    selected index."""
+    import functools
+
+    import neupan_tpu.ops.pallas.select as SEL
+    from neupan_tpu.models import obs_point_net
+    from neupan_tpu.ops.dune import (dune_forward, dune_forward_flow,
+                                     generate_point_flow)
+    from neupan_tpu.robot import Robot
+
+    orig = SEL.select_topk_flow_pallas
+    SEL.select_topk_flow_pallas = functools.partial(orig, interpret=True)
+    try:
+        rng = np.random.default_rng(0)
+        T, K, P = 10, 10, 300
+        robot = Robot.create(receding=T, step_time=0.1, kinematics="diff",
+                             max_speed=[8, 1], max_acce=[8, 3], length=1.6,
+                             width=2.0)
+        params = obs_point_net.init_params(jax.random.PRNGKey(0), 2,
+                                           robot.edge_dim)
+        G = jnp.asarray(robot.G, jnp.float32)
+        h = jnp.asarray(robot.h, jnp.float32)
+        verts = jnp.asarray(robot.vertices, jnp.float32)
+        nom_u = jnp.asarray(rng.uniform(-0.5, 0.5, (2, T)), jnp.float32)
+        nom_s = robot.rollout(jnp.zeros(3), nom_u)
+        pts = jnp.asarray(rng.uniform(-5, 8, (2, P)), jnp.float32)
+        vels = jnp.asarray(rng.normal(scale=0.3, size=(2, P)), jnp.float32)
+        mask = jnp.asarray(rng.uniform(size=P) < 0.9)
+        with jax.default_matmul_precision("highest"):
+            pf, R_all, glob = generate_point_flow(nom_s, pts, vels, robot.dt)
+            ref = dune_forward(params, G, h, pf, R_all, glob, mask, K,
+                               select="exact", vertices=verts)
+            out = dune_forward_flow(params, G, h, pts, vels, mask, nom_s,
+                                    robot.dt, K, verts)
+    finally:
+        SEL.select_topk_flow_pallas = orig
+
+    assert float(out.min_distance) == pytest.approx(
+        float(ref.min_distance), abs=1e-5)
+    # align slots by the world coordinates of the selected points
+    for t in range(T + 1):
+        ref_pts = np.asarray(ref.points_k)[t]      # (2, K)
+        out_pts = np.asarray(out.points_k)[t]
+        perm = []
+        for kk in range(K):
+            d = np.abs(ref_pts - out_pts[:, kk:kk + 1]).sum(axis=0)
+            j = int(np.argmin(d))
+            assert d[j] < 1e-5, (t, kk, d[j])      # same selected SET
+            perm.append(j)
+        assert sorted(perm) == list(range(K))      # a true permutation
+        np.testing.assert_allclose(np.asarray(out.mu_k)[t],
+                                   np.asarray(ref.mu_k)[t][:, perm],
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.lam_k)[t],
+                                   np.asarray(ref.lam_k)[t][:, perm],
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.dist_k)[t],
+                                   np.asarray(ref.dist_k)[t][perm],
+                                   atol=1e-5)
