@@ -189,6 +189,79 @@ def dune_forward(params, G: jnp.ndarray, h: jnp.ndarray,
     return DuneOutput(mu_k, lam_k, points_k, dist_k, valid_k, min_distance)
 
 
+def frame_transforms(nom_s: jnp.ndarray):
+    """Per-frame world-from-robot rotations + translations from nominal
+    states: R_all (T+1, 2, 2), trans (T+1, 2)."""
+    theta = nom_s[2, :]
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    R_all = jnp.stack(
+        [jnp.stack([c, -s], axis=-1), jnp.stack([s, c], axis=-1)], axis=1
+    )  # (T+1, 2, 2)
+    return R_all, nom_s[0:2, :].T
+
+
+def dune_forward_flow(params, G: jnp.ndarray, h: jnp.ndarray,
+                      points: jnp.ndarray, velocities: jnp.ndarray,
+                      mask: jnp.ndarray, nom_s: jnp.ndarray, dt: float,
+                      k: int, vertices: jnp.ndarray,
+                      mlp_pallas: bool = False) -> DuneOutput:
+    """Fused exact-selection DUNE forward: point flow generated in-kernel.
+
+    Equivalent to generate_point_flow + dune_forward(select="exact",
+    use_pallas=True) but never materializes the (T+1, 2, P) per-frame
+    point expansions — at the flagship shapes those are two ~92 MB HBM
+    arrays per PAN iteration whose writes+reads dominated the DUNE stage
+    (round-5 profile).  The Pallas selection kernel expands each frame's
+    coordinates in registers (ops/pallas/select.py:_select_flow_kernel);
+    only the K winners per frame are ever expanded in HBM.
+    """
+    from neupan_tpu.ops.pallas.select import select_topk_flow_pallas
+
+    Tp1 = nom_s.shape[1]
+    E = G.shape[0]
+    R_all, trans = frame_transforms(nom_s)
+
+    # selection indices are piecewise-constant in every input (kernel has
+    # no linearization rule); downstream winner math is differentiable
+    keys_k, idx = select_topk_flow_pallas(
+        jax.lax.stop_gradient(points), jax.lax.stop_gradient(velocities),
+        mask, jax.lax.stop_gradient(R_all), jax.lax.stop_gradient(trans),
+        dt, vertices, G, h, k)
+    valid_k = keys_k < _INF * 0.5
+
+    # winners only: world-frame advance + robot-frame transform (T+1, 2, K)
+    ptsw = points[:, idx]                       # (2, T+1, K)
+    velw = velocities[:, idx]
+    steps = jnp.arange(Tp1, dtype=points.dtype) * dt
+    p_glob_k = jnp.swapaxes(ptsw + steps[None, :, None] * velw, 0, 1)
+    pf_k = jnp.einsum("tba,tbk->tak", R_all, p_glob_k - trans[:, :, None])
+
+    if mlp_pallas:
+        from neupan_tpu.ops.pallas.mlp import dune_mlp_pallas
+        mu_tk = dune_mlp_pallas(params, pf_k.swapaxes(1, 2).reshape(-1, 2)
+                                ).reshape(Tp1, k, E)
+    else:
+        mu_tk = obs_point_net.forward(params, jnp.swapaxes(pf_k, 1, 2))
+
+    RG = jnp.einsum("tab,eb->tae", R_all, G)    # (T+1, 2, E)
+    lam_k = -jnp.einsum("tae,tke->tak", RG, mu_tk)
+    Gp_k = jnp.einsum("eb,tbk->tek", G, pf_k) - h.reshape(1, E, 1)
+    dist_k = jnp.einsum("tke,tek->tk", mu_tk, Gp_k)
+    dist_k = jnp.where(valid_k, dist_k, _INF)
+
+    # Slot order: the selection kernel already returns slots ascending by
+    # the EXACT distance; the materialized path re-sorts by the learned
+    # distance (reference dune.py:100-104), which differs only on learned-
+    # vs-exact near-ties (~1e-4 for a trained encoder).  The NRMP problem
+    # is invariant to slot order (all K soft rows are symmetric) and the
+    # invalid-slot replication uses slot 0 = the closest point either way,
+    # so the fused path SKIPS the re-sort — it measured ~3.5 ms/step of
+    # tiny per-frame sorts + gathers at B=512 (round-5 profile).
+    min_distance = jnp.min(dist_k[0])
+    mu_k = jnp.swapaxes(mu_tk, 1, 2)
+    return DuneOutput(mu_k, lam_k, p_glob_k, dist_k, valid_k, min_distance)
+
+
 def generate_point_flow(nom_s: jnp.ndarray, points: jnp.ndarray,
                         velocities: jnp.ndarray, dt: float):
     """Advance points by per-frame velocity and express them in robot frames.

@@ -303,35 +303,47 @@ def condensation(spec: NRMPSpec, A_dyn: jnp.ndarray, B_dyn: jnp.ndarray,
     k = 2 * T if spec.no_obs else 3 * T  # controls (+ distances)
     dtype = A_dyn.dtype
 
-    # s-sensitivity to u: M_{t+1} = A_t M_t + B_t E_t  (E_t injects u_t)
-    def body(M, inp):
-        A_t, B_t, t = inp
-        M_new = A_t @ M
-        cur = jax.lax.dynamic_slice(M_new, (0, 2 * t), (3, 2))
-        M_new = jax.lax.dynamic_update_slice(M_new, cur + B_t, (0, 2 * t))
-        return M_new, M_new
+    # s-sensitivity to u: M_{t+1} = A_t M_t + B_t E_t  (E_t injects u_t).
+    # UNROLLED python loop (T is static): as a lax.scan this was one of the
+    # two dominant while-loops of the round-5 B=512 profile (~2 ms/step
+    # each with its dynamic-update-slices) — tiny (3, 2T) per-iteration
+    # bodies are pure launch overhead, while the unrolled chain fuses.
+    M = jnp.zeros((3, 2 * T), dtype)
+    rows = [M]
+    for t in range(T):
+        M = A_dyn[t] @ M
+        M = M.at[:, 2 * t:2 * t + 2].add(B_dyn[t])   # static slice
+        rows.append(M)
+    S_u = jnp.stack(rows)                            # (T+1, 3, 2T)
 
-    M0 = jnp.zeros((3, 2 * T), dtype)
-    _, M_all = jax.lax.scan(body, M0, (A_dyn, B_dyn, jnp.arange(T)))
-    # rows: s_0 (zero sensitivity) then s_1..s_T
-    S_u = jnp.concatenate([M0[None], M_all], axis=0)     # (T+1, 3, 2T)
+    # concat construction (no scatters: the .at[].set writes into the
+    # (n, k) buffer cost ~1.3 ms/step at B=512 — round-5 profile).  Only
+    # the s-block varies per scenario; the u/d identity blocks are
+    # constants.
+    s_block = S_u.reshape(-1, 2 * T)                 # (3(T+1), 2T)
+    if spec.no_obs:
+        top = s_block
+        mid = jnp.eye(2 * T, dtype=dtype)
+        Z = jnp.concatenate([top, mid], axis=0)
+    else:
+        top = jnp.concatenate(
+            [s_block, jnp.zeros((spec.n_s, T), dtype)], axis=1)
+        mid = jnp.concatenate(
+            [jnp.eye(2 * T, dtype=dtype), jnp.zeros((2 * T, T), dtype)],
+            axis=1)
+        bot = jnp.concatenate(
+            [jnp.zeros((T, 2 * T), dtype), jnp.eye(T, dtype=dtype)], axis=1)
+        Z = jnp.concatenate([top, mid, bot], axis=0)
 
-    Z = jnp.zeros((spec.n, k), dtype)
-    Z = Z.at[: spec.n_s, :2 * T].set(S_u.reshape(-1, 2 * T))
-    Z = Z.at[spec.off_u: spec.off_u + 2 * T, :2 * T].set(
-        jnp.eye(2 * T, dtype=dtype))
-    if not spec.no_obs:
-        Z = Z.at[spec.off_d:, 2 * T:].set(jnp.eye(T, dtype=dtype))
-
-    # particular solution: zero-input rollout from s0
-    def roll(s, inp):
-        A_t, C_t = inp
-        s_new = A_t @ s + C_t[:, 0]
-        return s_new, s_new
-
-    _, s_traj = jax.lax.scan(roll, s0, (A_dyn, C_dyn))
-    s_all = jnp.concatenate([s0[None], s_traj], axis=0)  # (T+1, 3)
-    xp = jnp.zeros((spec.n,), dtype).at[: spec.n_s].set(s_all.reshape(-1))
+    # particular solution: zero-input rollout from s0 (unrolled, as above)
+    s = s0
+    s_rows = [s0]
+    for t in range(T):
+        s = A_dyn[t] @ s + C_dyn[t][:, 0]
+        s_rows.append(s)
+    s_all = jnp.stack(s_rows)                        # (T+1, 3)
+    xp = jnp.concatenate(
+        [s_all.reshape(-1), jnp.zeros((spec.n - spec.n_s,), dtype)])
     return Z, xp
 
 
@@ -373,10 +385,11 @@ def coefficients_from_dune(spec: NRMPSpec, mu_k, lam_k, points_k, valid_k,
         + jnp.einsum("tek,e->tk", mu_f, h[:, 0])
     )                                              # (T, K)
 
-    # replicate row 0 into invalid slots (sorted => valid slots come first)
-    idx = jnp.where(val_f, jnp.arange(K)[None, :], 0)
-    fa = jnp.take_along_axis(fa, idx[:, :, None], axis=1)
-    fb = jnp.take_along_axis(fb, idx, axis=1)
+    # replicate row 0 into invalid slots (sorted => valid slots come
+    # first).  where-select, not take_along_axis: the equivalent gather
+    # lowered to a ~1.8 ms scalar-loop fusion at B=512 (round-5 profile)
+    fa = jnp.where(val_f[:, :, None], fa, fa[:, 0:1, :])
+    fb = jnp.where(val_f, fb, fb[:, 0:1])
 
     fa = jnp.where(has_points, fa, 0.0)
     fb = jnp.where(has_points, fb, 0.0)

@@ -23,7 +23,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from neupan_tpu.ops.dune import DuneOutput, dune_forward, generate_point_flow
+from neupan_tpu.ops.dune import (DuneOutput, dune_forward, dune_forward_flow,
+                                 generate_point_flow)
 from neupan_tpu.ops.nrmp import (
     AdjustParams,
     NRMPSpec,
@@ -214,11 +215,20 @@ def _pan_forward_impl(
     for it_i in range(spec.iter_num):
         admm_i = admm if it_i == 0 else admm_warm
         # --- DUNE ---------------------------------------------------------
-        pf, R_all, pts_glob = generate_point_flow(nom_s, points, velocities, robot.dt)
-        dune = dune_forward(dune_params, G, h, pf, R_all, pts_glob, mask, K,
-                            use_pallas=use_pallas, select=spec.dune_select,
-                            vertices=vertices,
-                            mlp_pallas=spec.use_dune_mlp_pallas())
+        if use_pallas and spec.dune_select == "exact":
+            # fused path: the (T+1, 2, P) per-frame expansions are never
+            # materialized — the selection kernel generates the point
+            # flow in registers (ops/dune.py:dune_forward_flow)
+            dune = dune_forward_flow(dune_params, G, h, points, velocities,
+                                     mask, nom_s, robot.dt, K, vertices,
+                                     mlp_pallas=spec.use_dune_mlp_pallas())
+        else:
+            pf, R_all, pts_glob = generate_point_flow(nom_s, points,
+                                                      velocities, robot.dt)
+            dune = dune_forward(dune_params, G, h, pf, R_all, pts_glob,
+                                mask, K, use_pallas=use_pallas,
+                                select=spec.dune_select, vertices=vertices,
+                                mlp_pallas=spec.use_dune_mlp_pallas())
 
         # --- NRMP ---------------------------------------------------------
         fa, fb = coefficients_from_dune(spec.nrmp, dune.mu_k, dune.lam_k,

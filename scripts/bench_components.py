@@ -64,7 +64,8 @@ def main(B=256):
                     params, G, h, pf, R, glob, mask, spec.nrmp.K,
                     use_pallas=use_pallas, select=spec.dune_select,
                     vertices=None if vertices is None
-                    else jnp.asarray(vertices))
+                    else jnp.asarray(vertices),
+                    mlp_pallas=spec.use_dune_mlp_pallas())
             out = jax.vmap(one)(nom_s, pts, vels, mask)
         # chain: fold the output back into nom_s so calls depend on
         # each other (defeats enqueue/dedup games)
