@@ -140,14 +140,18 @@ def run_episode(planner, tuner, base):
     return losses, min_dists
 
 
-def main(epochs=EPOCHS, save_path=None):
+def main(epochs=EPOCHS, save_path=None, scenario=None):
     """Run LON tuning epochs; returns the per-epoch records.
 
     With ``save_path``, appends one line per epoch (parameter trajectory +
     episode loss) — the evidence artifact mirroring the reference's printed
     trajectories (reference example/LON/LON_corridor.py:115-143).
+    ``scenario`` (or env LON_SCENARIO) picks the environment — the tuner
+    must transfer beyond the corridor; see LON_dyna_obs.py for the second
+    recorded environment (VERDICT round-4 #7).
     """
-    base = os.path.join(REPO, "examples", "corridor", "diff")
+    scenario = scenario or os.environ.get("LON_SCENARIO", "corridor/diff")
+    base = os.path.join(REPO, "examples", *scenario.split("/"))
     planner = NeuPan.init_from_yaml(os.path.join(base, "planner.yaml"))
     # LON owns the stuck behavior through its loss (reference
     # example/LON/LON_corridor.py:10-19); the planner's built-in deadlock
@@ -217,11 +221,17 @@ def main(epochs=EPOCHS, save_path=None):
                 and sm["min_clearance"] >= base_eval["min_clearance"]
                 and not sm["collided"]
                 and sm["steps_to_arrive"] is not None)
+    trade = ""
+    if (improved and base_eval["steps_to_arrive"] is not None
+            and sm["steps_to_arrive"] > base_eval["steps_to_arrive"]):
+        trade = (f" — TRADE: arrival is {sm['steps_to_arrive'] - base_eval['steps_to_arrive']}"
+                 " steps slower (clearance-first parameters take a wider line)")
     emit(f"IMPROVED: {improved} (baseline -> selected: mean_step_loss "
          f"{base_eval['mean_step_loss']:.3f} -> {sm['mean_step_loss']:.3f}, "
          f"min_clearance {base_eval['min_clearance']:.3f} -> "
          f"{sm['min_clearance']:.3f}, steps_to_arrive "
-         f"{base_eval['steps_to_arrive']} -> {sm['steps_to_arrive']})")
+         f"{base_eval['steps_to_arrive']} -> {sm['steps_to_arrive']})"
+         f"{trade}")
     return records, base_eval, final_eval, best
 
 

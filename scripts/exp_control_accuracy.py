@@ -85,7 +85,10 @@ def hard_violation(qp, x):
 
 
 def main():
-    base = os.path.join(REPO, "examples/corridor/diff")
+    # SCENARIO overrides the episode (e.g. corridor_long/diff for the
+    # T=30 long-horizon contract, VERDICT round-4 #5)
+    base = os.path.join(REPO, "examples",
+                        os.environ.get("SCENARIO", "corridor/diff"))
     from neupan_tpu.config import load_planner_config
 
     cfg = load_planner_config(os.path.join(base, "planner.yaml"))
