@@ -82,9 +82,9 @@ class PANSpec:
     # the accuracy either way.  Qualified like every solver knob: the
     # optimality contract + the 25-scenario sweep with the contact gate
     # (scripts/exp_control_accuracy.py, scripts/sweep_scenarios.py).
-    # 60 is the qualified default: contract viol 1.7e-4, sweep 25/25 +
-    # contact gate PASS.
-    admm_warm_iters: Optional[int] = 60
+    # 120 is the round-5 qualified default (with the small-reg NRMPSpec;
+    # see ADMMConfig.iters for the full canonical record).
+    admm_warm_iters: Optional[int] = 120
 
     def use_dune_pallas(self) -> bool:
         if self.dune_pallas is not None:

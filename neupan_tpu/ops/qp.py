@@ -75,17 +75,26 @@ class ADMMConfig:
     # which the corridor episode takes the same route at 100/150/300/600
     # iterations and the ADMM's only job is seeding the polish.
     #
-    # CANONICAL round-4 qualification record for the shipped default
-    # (iters=120, condense_admm=True, box-elim polish_rounds=3,
-    # refine_steps=5, admm_warm_iters=60):
-    #   contract  obj gap max 1.9e-5, hard viol max 8.9e-5  (BASELINE.md)
-    #   sweep     25/25 arrive, contact gate PASS
-    # Round-3 ladder for the shared knobs (each moved alone, full-space
-    # solver): iters=100 PASSed the contract but FAILed the contact bound
-    # (dyna_non_obs/omni 62 > 47); refine_steps=3 likewise (48 > 47, one
-    # non-arrival); round-4 additions: rho_updates=0 PASSes both gates but
-    # degrades worst-case |du0| to 0.335 for 3.7 ms -> rejected.
-    iters: int = 120
+    # CANONICAL round-5 qualification record for the shipped default
+    # (iters=240, condense_admm=True, box-elim polish_rounds=5,
+    # refine_steps=7, admm_warm_iters=120, NRMPSpec reg_u=1e-3
+    # reg_d=1e-2 — the budget the fused kernels made affordable, spent on
+    # closing the reg-induced action gap, BASELINE.md "Round 5"):
+    #   contract  obj gap max 1.6e-7, hard viol max 4.1e-5, |du0| max
+    #             5.7e-3 vs the f64 oracle
+    #   reference-formulation gap  |u0 - u0_ref-form| p50 2.3e-4 /
+    #             p90 4.8e-3 / max 1.04e-2 (== the pure formulation
+    #             shift; BENCH_FORMULATION_GAP.json)
+    #   sweep     26/26 arrive (incl. corridor_long T=30), contact gate
+    #             PASS (sweep_results.json)
+    # Round-5 ladder: reg_u=reg_d=1e-3 PASSes the corridor gates but
+    # stalls polygon_robot/diff and corridor_long/diff closed-loop (the
+    # d/omega flat directions need reg_d ~ 1e-2); reg 3e-3 at the OLD
+    # 120-iteration budget FAILs the contract outright (viol 2.2e-2).
+    # Round-4 record at the old defaults (iters=120, rounds=3, refine=5,
+    # warm=60, reg=0.1): contract obj gap max 1.9e-5, viol max 8.9e-5,
+    # 25/25 sweep — but |u0 - u0_ref-form| max 0.246.
+    iters: int = 240
     # step-size on the Ruiz-equilibrated problem; rho ~ 1 is the natural
     # scale after equilibration (0.1 converges far too slowly on stiff
     # obstacle-heavy NRMP instances)
@@ -101,15 +110,15 @@ class ADMMConfig:
     polish_delta: float = 1e-7
     # polish iterative-refinement steps (cheap matvec rounds): 5 floors the
     # hard-constraint violation at the f32 level (~2e-4 absolute on NRMP
-    # scales); 3 left ~1e-3 beta-penalty error on hinge-active instances.
-    refine_steps: int = 5
+    # scales); 3 left ~1e-3 beta-penalty error on hinge-active instances;
+    # 7 = the round-5 default qualified with the small-reg configuration.
+    refine_steps: int = 7
     eps_act: float = 1e-5  # dual magnitude that marks a constraint active
     # total polish rounds (EQP solves): round 0 guesses the active set from
     # the ADMM duals+values; rounds 1.. re-identify BY VALUE around the best
-    # point tried with a shrinking tolerance (see _polish).  3 rounds is
-    # the qualified default — see the canonical qualification record on
-    # `iters` above for the gate numbers and the rejected-knob ladder.
-    polish_rounds: int = 3
+    # point tried with a shrinking tolerance (see _polish).  5 rounds is
+    # the round-5 qualified default — see the canonical record on `iters`.
+    polish_rounds: int = 5
     # Ruiz equilibration sweeps before the ADMM phases.  10 = the OSQP
     # default.  5 measured library-equivalent (kkt p90 4.3e-3 both) but
     # FAILED the closed-loop contract (one corridor step at viol 2e-2 vs

@@ -116,8 +116,8 @@ class NeuPan:
             acce_bound=tuple(float(v) for v in self.robot.acce_bound[:, 0]),
             ro_obs=float(adjust_kwargs.get("ro_obs", 400.0)),
             bk=float(adjust_kwargs.get("bk", 0.1)),
-            reg_u=float(adjust_kwargs.get("reg_u", 0.1)),
-            reg_d=float(adjust_kwargs.get("reg_d", 0.1)),
+            reg_u=float(adjust_kwargs.get("reg_u", 0.001)),
+            reg_d=float(adjust_kwargs.get("reg_d", 0.01)),
         )
         if (nrmp_spec.reg_u == 0.0 or nrmp_spec.reg_d == 0.0) and \
                 ADMMConfig(**admm_kwargs).polish:
@@ -128,7 +128,8 @@ class NeuPan:
             print("NeuPan WARNING: adjust.reg_u/reg_d = 0 with polish "
                   "enabled — the QP objective is only PSD and the active-"
                   "set polish may not converge (see NRMPSpec.reg_u). "
-                  "Restore the defaults (0.1) or disable polish.")
+                  "Restore the defaults (reg_u 1e-3 / reg_d 1e-2) or disable "
+                  "polish.")
         self.spec = PANSpec(
             robot=self.robot,
             nrmp=nrmp_spec,

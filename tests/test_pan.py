@@ -102,8 +102,14 @@ def test_pan_state_carry_and_warm_start():
     out1 = pan_forward(spec, params, G, h, ADJ, *inputs, st0)
     assert bool(out1.state.prev_valid)
     out2 = pan_forward(spec, params, G, h, ADJ, *inputs, out1.state)
+    # tolerance tracks the deployed accuracy class: with the round-5
+    # small-reg default (reg_u=1e-3, 100x less face-selection hysteresis
+    # than round 4's 0.1) two near-optimal solves of the same QP from
+    # different starts legitimately differ by ~2e-3 on the tail controls
+    # (the qualified contract bounds |du0| at 5.7e-3 — see
+    # ADMMConfig.iters' canonical record)
     np.testing.assert_allclose(np.asarray(out2.opt_u), np.asarray(out1.opt_u),
-                               atol=1e-3)
+                               atol=3e-3)
 
 
 def test_pan_early_stop_freezes_second_iteration():
