@@ -16,14 +16,18 @@ calls followed by one device->host read that forces the true queue drain —
 be trusted, and the read itself permanently degrades the process dispatch,
 so it happens exactly once, at the end.  The published number therefore
 UNDERCOUNTS slightly (it includes the tunnel's one-time ~4 s drain tax;
-the N-slope excluding it measured 82.4 ms/call = 6213 solves/s at B=512 in
-round 4).  The program matches the CPU backend to <= 5e-4 on opt_u.
+see BASELINE.md's canonical round-5 numbers table for all bases: the
+round-5 default published 26,360 solves/s here while the profiler
+device-time basis gives the same step ~17 ms => ~30k).  The program
+matches the CPU backend to <= 5e-4 on opt_u (re-verified round 5 after
+the fused kernels).
 
 Accuracy gate: the solver config benched here is the library default
-(ADMMConfig() = 120 ADMM iters + 3-round exact polish + 60 warm-PAN iters),
-double-gated by the f64-oracle optimality contract AND the 25/25 scenario
-sweep with the contact bound (BASELINE.md).  Never bench a config that does
-not pass both.
+(ADMMConfig() = 240 ADMM iters + 5-round box-elim polish + 120 warm-PAN
+iters + NRMPSpec reg_u=1e-3/reg_d=1e-2), triple-gated: the f64-oracle
+optimality contract, the reference-formulation action gap (p90 <= 1e-2),
+AND the 26/26 scenario sweep with the contact bound (BASELINE.md).  Never
+bench a config that does not pass them.
 """
 
 import json

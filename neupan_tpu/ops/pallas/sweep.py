@@ -39,8 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 _LANES = 128
 
 
-def _sweep_kernel(n: int, m_ref, out_ref):
-    A = m_ref[:]                                   # (n, n, L)
+def _sweep_body(n: int, A):
     i0 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
     i1 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
     for j in range(n):
@@ -52,7 +51,42 @@ def _sweep_kernel(n: int, m_ref, out_ref):
         A = jnp.where(i0 == j, rs[None, :, :], A)  # row j   <- a_jk / d
         A = jnp.where(i1 == j, rs[:, None, :], A)  # col j   <- a_ij / d
         A = jnp.where((i0 == j) & (i1 == j), -inv_d[None, :, :], A)
-    out_ref[:] = -A                                # sweep(all) == -A^{-1}
+    return -A                                      # sweep(all) == -A^{-1}
+
+
+def _sweep_kernel(n: int, m_ref, out_ref):
+    out_ref[:] = _sweep_body(n, m_ref[:])          # (n, n, L)
+
+
+def _sweep_kernel_rolled(n: int, m_ref, out_ref):
+    """fori_loop variant for large n: the unrolled kernel's value-SSA form
+    keeps ~5 live (n, n, 128) copies (~20 MB at n=90 — VMEM OOM); this
+    one updates the (aliased) output ref in place, holding ~2 copies.
+    Row/column j are extracted by masked reduction instead of dynamic
+    transposes (cheap on the VPU, no relayouts)."""
+    i0 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    out_ref[:] = m_ref[:]
+
+    def body(j, carry):
+        A = out_ref[:]
+        row = jnp.sum(jnp.where(i0 == j, A, 0.0), axis=0,
+                      keepdims=True)               # (1, n, L)
+        d = jnp.sum(jnp.where(i1[0:1] == j, row, 0.0), axis=1,
+                    keepdims=True)                 # (1, 1, L)
+        inv_d = 1.0 / d
+        rs = row * inv_d                           # (1, n, L)
+        col = jnp.sum(jnp.where(i1 == j, A, 0.0), axis=1,
+                      keepdims=True)               # (n, 1, L)
+        A = A - col * rs
+        A = jnp.where(i0 == j, rs, A)
+        A = jnp.where(i1 == j, col * inv_d, A)
+        A = jnp.where((i0 == j) & (i1 == j), -inv_d, A)
+        out_ref[:] = A
+        return carry
+
+    jax.lax.fori_loop(0, n, body, 0)
+    out_ref[:] = -out_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -73,15 +107,32 @@ def sweep_spd_inverse(M: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
                                (n, n, pad))
         Mt = jnp.concatenate([Mt, eye], axis=-1)
     Bp = B + pad
+    g = Bp // _LANES
 
-    out = pl.pallas_call(
-        functools.partial(_sweep_kernel, n),
-        grid=(Bp // _LANES,),
-        in_specs=[pl.BlockSpec((n, n, _LANES), lambda i: (0, 0, i),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((n, n, _LANES), lambda i: (0, 0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, n, Bp), M.dtype),
-        interpret=interpret,
-    )(Mt)
+    # large matrices use the rolled in-place kernel AND one pallas call
+    # per 128-lane chunk (XLA's scoped-vmem placement keeps whole
+    # custom-call operands in VMEM; both together bound the footprint
+    # at ~2 x 4.4 MB for n=90)
+    kern = _sweep_kernel if n <= 64 else _sweep_kernel_rolled
+
+    def one_call(Mc):
+        return pl.pallas_call(
+            functools.partial(kern, n),
+            grid=(Mc.shape[-1] // _LANES,),
+            in_specs=[pl.BlockSpec((n, n, _LANES), lambda i: (0, 0, i),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((n, n, _LANES), lambda i: (0, 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(Mc.shape, M.dtype),
+            input_output_aliases={0: 0},
+            interpret=interpret,
+        )(Mc)
+
+    if n <= 64:
+        out = one_call(Mt)
+    else:
+        out = jnp.concatenate(
+            [one_call(jax.lax.dynamic_slice_in_dim(Mt, i * _LANES, _LANES,
+                                                   axis=2))
+             for i in range(g)], axis=-1)
     return jnp.moveaxis(out[:, :, :B], -1, 0)
