@@ -73,7 +73,10 @@ def eval_episode(planner, base, max_steps=None, info_loss=_default_info_loss):
         if info["arrive"]:
             arrived_at = i
             break
-        if np.isfinite(planner.min_distance):
+        if np.isfinite(planner.min_distance) and planner.min_distance < 1e8:
+            # the no-points sentinel is 1e9 — finite, so isfinite alone
+            # let it pollute mean_clearance (recorded in the round-5
+            # dyna_obs artifact before this fix)
             min_dists.append(float(planner.min_distance))
         if info.get("distance_tensor") is not None:
             losses.append(float(info_loss(info, planner)))
@@ -115,7 +118,7 @@ def run_episode(planner, tuner, base):
         action, info = planner(state, points)
         if info["arrive"]:
             break
-        if np.isfinite(planner.min_distance):
+        if np.isfinite(planner.min_distance) and planner.min_distance < 1e8:
             min_dists.append(float(planner.min_distance))
 
         # differentiate the distance loss wrt the adjust parameters and step

@@ -8,14 +8,17 @@ geometry rather than a static squeeze.  Results artifact:
 results_dyna_obs.txt.
 
 Same knobs as LON_corridor (LON_EPOCHS / LON_COLL / LON_LR ...); the
-collision threshold default stays 0.4 — dyna_obs clearances pass well
-above it, so the zero-basin pathology documented in LON_corridor does not
-bind here.
+collision-threshold default here is 0.85, NOT the corridor's 0.4: the
+untuned dyna_obs/diff episode already passes with min clearance ~0.74,
+so at 0.4 the loss is identically zero and there is nothing to tune
+(recorded while writing this harness).  0.85 makes the near-miss steps
+carry loss the tuner can trade against.
 """
 
 import os
 
 os.environ.setdefault("LON_SCENARIO", "dyna_obs/diff")
+os.environ.setdefault("LON_COLL", "0.85")
 
 from LON_corridor import main  # noqa: E402
 
