@@ -57,13 +57,14 @@ BASELINE_SOLVES_PER_S = 1000.0  # BASELINE.md target per chip
 def make_flagship(T=10, P=2048, K=10, admm_iters=None):
     """The benchmarked spec.
 
-    The ADMM config defaults to the library default (ADMMConfig(): 120
-    iterations, 3 polish rounds, 60 warm-PAN iterations) — the SAME config
-    every planner YAML runs and the one the double gate qualifies
-    (BASELINE.md): the f64-oracle optimality contract
-    (scripts/exp_control_accuracy.py) AND the 25/25 scenario sweep
-    (scripts/sweep_scenarios.py).  Never bench a config that does not pass
-    both.
+    The ADMM config defaults to the library default (ADMMConfig(): 240
+    iterations, 5 polish rounds, 120 warm-PAN iterations, with the
+    NRMPSpec small-reg defaults) — the SAME config every planner YAML
+    runs and the one the gates qualify (BASELINE.md): the f64-oracle
+    optimality contract + reference-formulation action gap
+    (scripts/exp_control_accuracy.py, scripts/exp_formulation_gap.py)
+    AND the 26/26 scenario sweep (scripts/sweep_scenarios.py).  Never
+    bench a config that does not pass them.
     """
     robot = Robot.create(receding=T, step_time=0.1, kinematics="diff",
                          max_speed=[8, 1], max_acce=[8, 3],

@@ -80,7 +80,7 @@ class PANSpec:
     # is iteration 1's solution of a nearly identical problem, so the
     # ADMM's seeding job is mostly done; the active-set polish supplies
     # the accuracy either way.  Qualified like every solver knob: the
-    # optimality contract + the 25-scenario sweep with the contact gate
+    # optimality contract + the 26-scenario sweep with the contact gate
     # (scripts/exp_control_accuracy.py, scripts/sweep_scenarios.py).
     # 120 is the round-5 qualified default (with the small-reg NRMPSpec;
     # see ADMMConfig.iters for the full canonical record).

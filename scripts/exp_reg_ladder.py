@@ -16,7 +16,7 @@ For each rung this driver runs, via the NEUPAN_NRMP_JSON override:
      optimality for the reg=0 REFERENCE objective + the action gate).
 
 Writes BENCH_REG_LADDER.json.  The chosen config must additionally pass
-the 25/25 scenario sweep before shipping (run separately — ~30 min).
+the 26/26 scenario sweep before shipping (run separately — ~45 min).
 """
 import json
 import os
