@@ -1011,9 +1011,23 @@ def _polish_candidate_condensed_box(qp: QPData, cfg: ADMMConfig, low_act,
 
     w, yn = kkt_solve(g1r, b_box, g2n)
 
+    # Refinement against the exact reduced KKT operator.  The reduced
+    # gradient collapses algebraically — with x = Z w + xp,
+    #   Z'(-q - P x - soft_grad(x)) = C0 - Hr_ref w,
+    #   C0 = Z'(-q - P xp + SAtg3 - SA'(SA xp)),  Hr_ref = Z'PZ + SZ'SZ
+    # (the TRUE Hessian, no sigma), so each refine step is ONE (k, k)
+    # matvec instead of four full-space products — the old form was ~3 ms
+    # of launch-bound (181, 63) chains per planner step at B=512 (round-5
+    # profile).  Bitwise-identical input data, reassociated arithmetic.
+    Hr_ref = Z.T @ (Z * P[:, None])
+    if SA is not None:
+        Hr_ref = Hr_ref + SZ.T @ SZ
+        C0 = Z.T @ (-q - P * xp + SAtg3) - SZ.T @ (SA @ xp)
+    else:
+        C0 = Z.T @ (-q - P * xp)
+
     for _ in range(cfg.refine_steps):
-        x_full = Z @ w + xp
-        grad_r = Z.T @ (-q - P * x_full - soft_grad(x_full))
+        grad_r = C0 - Hr_ref @ w
         r1 = grad_r - DAn.T @ (d * yn)
         r_fix = b_box - w                               # pin residual
         r2n = g2n - (DAn @ w + (1.0 - d) * yn)
@@ -1026,7 +1040,7 @@ def _polish_candidate_condensed_box(qp: QPData, cfg: ADMMConfig, low_act,
 
     # ---- dual recovery ----------------------------------------------------
     # bound rows: stationarity residual at the pinned coordinates
-    grad_r = Z.T @ (-q - P * x - soft_grad(x))
+    grad_r = C0 - Hr_ref @ w
     y_box = fix * (grad_r - A_acc.T @ y_acc)
     m = A.shape[0]
     y = jnp.zeros((m,), P.dtype)
