@@ -914,6 +914,68 @@ def _polish_candidate_condensed(qp: QPData, cfg: ADMMConfig, low_act, up_act,
     return x, y, ok
 
 
+def _box_candidate_single(refine: int, Hr, Hr_ref, DAn, C0, g1r, g2n,
+                          b_box, fix, d):
+    """XLA reference for the box-elim candidate solve (one scenario).
+
+    Pinned-coordinate KKT: masked Hessian Hm (identity row/col at pinned
+    coordinates), dual Schur over the normalized acc rows, then
+    ``refine`` reduced-space refinement passes (grad = C0 - Hr_ref w).
+    The batched TPU path runs the identical math as ONE fused Pallas
+    kernel (ops/pallas/polish.py) — at B=512 this chain is ~80
+    launch-bound ops per candidate x 10 candidates per planner step.
+    """
+    free = 1.0 - fix
+    Hm = Hr * free[:, None] * free[None, :] + jnp.diag(fix)
+    Hm_inv = _spd_inverse(Hm, None)
+    HD = Hm_inv @ DAn.T
+    S = DAn @ HD + jnp.diag((1.0 - d) + 1e-6)
+    S_inv = _spd_inverse(S, None)
+
+    def kkt_solve(r1, r_fix, r2n):
+        t = free * (r1 - Hr @ (fix * r_fix)) + fix * r_fix
+        dw0 = Hm_inv @ t
+        dyn = S_inv @ (DAn @ dw0 - r2n)
+        dw = dw0 - Hm_inv @ (free * (DAn.T @ dyn))
+        return dw, dyn
+
+    w, yn = kkt_solve(g1r, b_box, g2n)
+    for _ in range(refine):
+        grad_r = C0 - Hr_ref @ w
+        r1 = grad_r - DAn.T @ (d * yn)
+        r_fix = b_box - w
+        r2n = g2n - (DAn @ w + (1.0 - d) * yn)
+        dw, dyn = kkt_solve(r1, fix * r_fix, r2n)
+        w = w + dw
+        yn = yn + dyn
+    return w, yn
+
+
+@functools.lru_cache(maxsize=16)
+def _box_candidate_loop(refine: int):
+    """custom_vmap wrapper for the box-elim candidate solve."""
+
+    @jax.custom_batching.custom_vmap
+    def loop(Hr, Hr_ref, DAn, C0, g1r, g2n, b_box, fix, d):
+        return _box_candidate_single(refine, Hr, Hr_ref, DAn, C0, g1r,
+                                     g2n, b_box, fix, d)
+
+    @loop.def_vmap
+    def _loop_vmap(axis_size, in_batched, *args):
+        args = [a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+                for a, b in zip(args, in_batched)]
+        B = args[0].shape[0]
+        if jax.default_backend() == "tpu" and B >= 8:
+            from neupan_tpu.ops.pallas.polish import box_candidate
+            w, yn = box_candidate(*args, refine=refine)
+        else:
+            w, yn = jax.vmap(
+                lambda *a: _box_candidate_single(refine, *a))(*args)
+        return (w, yn), (True, True)
+
+    return loop
+
+
 def _polish_candidate_condensed_box(qp: QPData, cfg: ADMMConfig, low_act,
                                     up_act, soft_act, Z, xp, Geq_inv):
     """Condensed EQP with bound-active VARIABLES eliminated directly.
@@ -973,13 +1035,6 @@ def _polish_candidate_condensed_box(qp: QPData, cfg: ADMMConfig, low_act,
         Hr = Hr + SZ.T @ SZ
     g1r = Z.T @ (g1 - Hp_mv(xp))
 
-    def Hr_mv(w_):
-        return Hr @ w_
-
-    # masked Hessian: identity row/col at pinned coordinates
-    Hm = Hr * free[:, None] * free[None, :] + jnp.diag(fix)
-    Hm_inv = _spd_inverse(Hm, cfg)
-
     # ---- acc rows: dual Schur over the general rows only -----------------
     A_acc = A[sl_acc] @ Z                              # (n_acc, k)
     act_acc = (low_act[sl_acc] | up_act[sl_acc])
@@ -996,29 +1051,12 @@ def _polish_candidate_condensed_box(qp: QPData, cfg: ADMMConfig, low_act,
     b_eff = b_acc - A[sl_acc] @ xp - A_acc @ (fix * b_box)
     g2n = jnp.where(act_acc, b_eff * rs, 0.0)
 
-    HD = Hm_inv @ DAn.T                                # (k, n_acc)
-    S = DAn @ HD + jnp.diag((1.0 - d) + 1e-6)          # (n_acc, n_acc)
-    S_inv = _spd_inverse(S, cfg)
-
-    def kkt_solve(r1, r_fix, r2n):
-        """Solve the pinned KKT: Hr dw + DAn' dyn = r1 (free rows),
-        dw_fix = r_fix, DAn dw = r2n."""
-        t = free * (r1 - Hr_mv(fix * r_fix)) + fix * r_fix
-        dw0 = Hm_inv @ t
-        dyn = S_inv @ (DAn @ dw0 - r2n)
-        dw = dw0 - Hm_inv @ (free * (DAn.T @ dyn))
-        return dw, dyn
-
-    w, yn = kkt_solve(g1r, b_box, g2n)
-
-    # Refinement against the exact reduced KKT operator.  The reduced
-    # gradient collapses algebraically — with x = Z w + xp,
+    # Reduced-space refinement operator.  The reduced gradient collapses
+    # algebraically — with x = Z w + xp,
     #   Z'(-q - P x - soft_grad(x)) = C0 - Hr_ref w,
     #   C0 = Z'(-q - P xp + SAtg3 - SA'(SA xp)),  Hr_ref = Z'PZ + SZ'SZ
     # (the TRUE Hessian, no sigma), so each refine step is ONE (k, k)
-    # matvec instead of four full-space products — the old form was ~3 ms
-    # of launch-bound (181, 63) chains per planner step at B=512 (round-5
-    # profile).  Bitwise-identical input data, reassociated arithmetic.
+    # matvec instead of four full-space products.
     Hr_ref = Z.T @ (Z * P[:, None])
     if SA is not None:
         Hr_ref = Hr_ref + SZ.T @ SZ
@@ -1026,14 +1064,11 @@ def _polish_candidate_condensed_box(qp: QPData, cfg: ADMMConfig, low_act,
     else:
         C0 = Z.T @ (-q - P * xp)
 
-    for _ in range(cfg.refine_steps):
-        grad_r = C0 - Hr_ref @ w
-        r1 = grad_r - DAn.T @ (d * yn)
-        r_fix = b_box - w                               # pin residual
-        r2n = g2n - (DAn @ w + (1.0 - d) * yn)
-        dw, dyn = kkt_solve(r1, fix * r_fix, r2n)
-        w = w + dw
-        yn = yn + dyn
+    # the whole candidate solve (masked-Hessian + Schur inverses, KKT
+    # solve, refinement) dispatches to one fused Pallas kernel on the
+    # batched TPU path (ops/pallas/polish.py) via custom_vmap
+    w, yn = _box_candidate_loop(int(cfg.refine_steps))(
+        Hr, Hr_ref, DAn, C0, g1r, g2n, b_box, fix, d)
 
     x = Z @ w + xp
     y_acc = d * yn * rs

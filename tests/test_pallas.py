@@ -275,3 +275,34 @@ def test_fused_flow_dune_matches_materialized_exact():
         np.testing.assert_allclose(np.asarray(out.dist_k)[t],
                                    np.asarray(ref.dist_k)[t][perm],
                                    atol=1e-5)
+
+
+def test_fused_box_candidate_matches_xla():
+    """The fused polish-candidate kernel (interpret mode) must reproduce
+    the XLA candidate solve (masked-Hessian + Schur inverses, KKT solve,
+    reduced-space refinement) to f32 tightness."""
+    import neupan_tpu.ops.pallas.polish as PK
+    from neupan_tpu.ops import qp as Q
+
+    rng = np.random.default_rng(0)
+    B, k, na, refine = 9, 30, 18, 7
+    Qm = rng.normal(size=(B, k, k))
+    Hr = Qm @ np.swapaxes(Qm, 1, 2) / k + np.eye(k)
+    Hr_ref = Hr - 1e-6 * np.eye(k)
+    DAn = rng.normal(size=(B, na, k)) * 0.3
+    d = (rng.uniform(size=(B, na)) < 0.6).astype(np.float64)
+    DAn = DAn / np.maximum(np.linalg.norm(DAn, axis=2, keepdims=True),
+                           1e-8) * d[:, :, None]
+    C0 = rng.normal(size=(B, k))
+    g1r = rng.normal(size=(B, k))
+    g2n = rng.normal(size=(B, na)) * d
+    fix = (rng.uniform(size=(B, k)) < 0.4).astype(np.float64)
+    b_box = rng.normal(size=(B, k)) * fix
+    args = [jnp.asarray(a, jnp.float32)
+            for a in (Hr, Hr_ref, DAn, C0, g1r, g2n, b_box, fix, d)]
+    with jax.default_matmul_precision("highest"):
+        ref = jax.vmap(lambda *a: Q._box_candidate_single(refine, *a))(*args)
+        out = PK.box_candidate(*args, refine=refine, interpret=True)
+    for r, o in zip(ref, out):
+        r, o = np.asarray(r), np.asarray(o)
+        assert np.abs(r - o).max() / max(np.abs(r).max(), 1e-9) < 2e-4
