@@ -140,10 +140,16 @@ def test_tuner_updates_only_selected_fields():
 
 
 def test_lon_episode_tuning_reduces_episode_loss():
-    """Episode-level regression (VERDICT round-2 #5): after tuning epochs on
-    the fixed corridor episode, a replay with the TUNED parameters (no
-    further updates) has a strictly lower episode loss than the initial
-    parameters produced."""
+    """Episode-level regression (VERDICT round-2 #5): LON tuning on the fixed
+    corridor episode finds parameters whose frozen replay has a substantially
+    lower episode loss than the initial parameters.
+
+    The shipped LON semantics (examples/LON/LON_corridor.py) is
+    validation-based BEST-EPOCH selection, because the raw per-epoch loss is
+    non-monotone near the documented zero-loss basin (epochs past the optimum
+    overshoot; see examples/LON/results_corridor.txt).  This test mirrors
+    that: replay after every tuning epoch and assert the best epoch beats the
+    initial parameters by a clear margin, not that the LAST epoch does."""
     import os
     import sys
 
@@ -166,12 +172,14 @@ def test_lon_episode_tuning_reduces_episode_loss():
     loss0 = float(np.sum(losses0))
     assert loss0 > 0.0, "fixture episode must exercise the loss"
 
-    # tuning epochs (recorded trajectories show convergence by epoch ~3)
+    # tuning epochs with a frozen replay after each (recorded trajectories
+    # reach the basin by epoch ~2; 3 epochs brackets it)
     tuner = LONTuner(planner.adjust, lr=5e-3)
+    best = float("inf")
     for _ in range(3):
         run_episode(planner, tuner, base)
+        losses1, _ = run_episode(planner, FrozenTuner(), base)
+        best = min(best, float(np.sum(losses1)))
 
-    # replay with the tuned parameters frozen
-    losses1, dists1 = run_episode(planner, FrozenTuner(), base)
-    loss1 = float(np.sum(losses1))
-    assert loss1 < loss0, (loss1, loss0)
+    # best-epoch selection must beat the initial parameters by >= 10%
+    assert best < 0.9 * loss0, (best, loss0)
