@@ -17,8 +17,8 @@ be trusted, and the read itself permanently degrades the process dispatch,
 so it happens exactly once, at the end.  The published number therefore
 UNDERCOUNTS slightly (it includes the tunnel's one-time ~4 s drain tax;
 see BASELINE.md's canonical round-5 numbers table for all bases: the
-round-5 default published 26,360 solves/s here while the profiler
-device-time basis gives the same step ~17 ms => ~30k).  The program
+round-5 default published 34,149 solves/s here while the profiler
+device-time basis gives the same step 13.03 ms => 39.3k).  The program
 matches the CPU backend to <= 5e-4 on opt_u (re-verified round 5 after
 the fused kernels).
 
