@@ -35,10 +35,10 @@ def main(B=512, top=40):
         key, state = carry
         key, sub = jax.random.split(key)
         pts = jax.random.uniform(sub, (B, 2, P), jnp.float32, 1.0, 9.0)
-        out, state = batched_planner_step(
+        out = batched_planner_step(
             spec, params, G, h, adjust, nom_s, nom_u, ref_s, ref_us,
             pts, vels, mask, state)
-        return (key, state)
+        return (key, out.state)
 
     t, detail = device_profile(jax.jit(full_step),
                                (jax.random.PRNGKey(0), state), n=8, top=top)
